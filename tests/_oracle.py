@@ -1,0 +1,125 @@
+"""Load the reference (torch) implementation as a numeric test oracle.
+
+The reference at /root/reference is used ONLY to generate expected outputs in
+tests — no code is copied from it. torchvision is absent in this image, so a
+minimal stub satisfies the reference's imports (deform_conv2d is never hit on
+the paths we test)."""
+
+import sys
+import types
+
+_REF = "/root/reference"
+
+
+def _install_misc_stubs():
+    if "notion_client" not in sys.modules:
+        nc = types.ModuleType("notion_client")
+
+        class Client:
+            def __init__(self, *a, **k):
+                pass
+
+        nc.Client = Client
+        sys.modules["notion_client"] = nc
+    if "numba" not in sys.modules:
+        nb = types.ModuleType("numba")
+
+        def _decorator(*a, **k):
+            if len(a) == 1 and callable(a[0]) and not k:
+                return a[0]
+
+            def wrap(fn):
+                return fn
+
+            return wrap
+
+        nb.jit = _decorator
+        nb.njit = _decorator
+        nb.prange = range
+        cuda = types.ModuleType("numba.cuda")
+        cuda.jit = _decorator
+        cuda.local = types.SimpleNamespace(array=lambda *a, **k: None)
+        nb.cuda = cuda
+        sys.modules["numba"] = nb
+        sys.modules["numba.cuda"] = cuda
+
+
+def _install_torchvision_stub():
+    _install_misc_stubs()
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    tv.__version__ = "0.18.0"
+    ops = types.ModuleType("torchvision.ops")
+
+    def deform_conv2d(*a, **k):
+        raise NotImplementedError("torchvision stub")
+
+    ops.deform_conv2d = deform_conv2d
+    transforms = types.ModuleType("torchvision.transforms")
+    transforms.__path__ = []  # mark as package
+    functional = types.ModuleType("torchvision.transforms.functional")
+
+    class _Passthrough:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x):
+            return x
+
+    class InterpolationMode:
+        NEAREST = "nearest"
+        BILINEAR = "bilinear"
+        BICUBIC = "bicubic"
+
+    for name in (
+        "Compose", "Resize", "Normalize", "ToTensor", "CenterCrop",
+        "ColorJitter", "RandomResizedCrop", "Pad",
+    ):
+        setattr(transforms, name, _Passthrough)
+    transforms.InterpolationMode = InterpolationMode
+    functional.InterpolationMode = InterpolationMode
+    functional.resize = lambda x, *a, **k: x
+    datasets = types.ModuleType("torchvision.datasets")
+
+    class ImageFolder:
+        def __init__(self, *a, **k):
+            raise NotImplementedError("torchvision stub")
+
+    datasets.ImageFolder = ImageFolder
+    tv.ops = ops
+    tv.transforms = transforms
+    tv.datasets = datasets
+    transforms.functional = functional
+    sys.modules["torchvision.datasets"] = datasets
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.ops"] = ops
+    sys.modules["torchvision.transforms"] = transforms
+    sys.modules["torchvision.transforms.functional"] = functional
+
+
+def load_reference():
+    """Returns the reference ultralytics package (imported from /root/reference)."""
+    _install_torchvision_stub()
+    if _REF not in sys.path:
+        sys.path.insert(0, _REF)
+    import ultralytics  # noqa
+
+    return ultralytics
+
+
+def reference_model(cfg_name: str, nc=None):
+    """Build a reference DetectionModel/YOLOv10_3DDetectionModel from YAML."""
+    load_reference()
+    from ultralytics.nn.tasks import DetectionModel
+
+    cfg = f"{_REF}/ultralytics/cfg/models/v10/{cfg_name}.yaml"
+    if "3D" in cfg_name:
+        cfg = f"{_REF}/ultralytics/cfg/models/v10-3D/{cfg_name}.yaml"
+    model = DetectionModel(cfg, verbose=False)
+    model.eval()
+    return model
+
+
+def state_dict_numpy(model):
+    return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}

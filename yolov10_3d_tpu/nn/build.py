@@ -1,0 +1,275 @@
+"""YAML -> model compiler (reference: ultralytics/nn/tasks.py:837 ``parse_model``).
+
+The reference walks backbone+head lists and builds an nn.Sequential with
+feature-routing attributes. Here parsing is a pure function producing a static
+``LayerSpec`` tuple; ``YOLOModel`` is a flax module that instantiates the layers
+in setup() and walks them with a saved-features dict. Everything is static at
+trace time so XLA sees one fused graph; strides are computed symbolically from
+the spec (no dummy 256px forward as in tasks.py:301-310).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import yaml
+from flax import linen as nn
+
+from . import modules as M
+from . import heads as H
+
+HEAD_MODULES = {"Detect", "v10Detect", "v10Detect3d"}
+
+# Modules following the (c1, c2, ...) channel convention (tasks.py:869-899)
+CH_MODULES = {
+    "Conv", "DWConv", "Bottleneck", "SPPF", "C2f", "PSA", "SCDown", "C2fCIB",
+}
+# Modules whose repeat count n is absorbed as an inner arg (tasks.py:910-912)
+REPEAT_MODULES = {"C2f", "C2fCIB", "Bottleneck"}
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    """Round channels up to the nearest multiple (ultralytics checks.py)."""
+    return math.ceil(x / divisor) * divisor
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerSpec:
+    i: int                      # layer index
+    f: Union[int, Tuple[int, ...]]  # input layer index/indices (-1 = previous)
+    n: int                      # outer repeat count (after depth scaling)
+    module: str                 # registry name
+    args: Tuple[Any, ...]       # positional args (post channel-scaling)
+    c2: int                     # output channels
+    stride: int                 # cumulative spatial stride vs input image
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    nc: int
+    layers: Tuple[LayerSpec, ...]
+    save: Tuple[int, ...]       # indices whose outputs must be kept
+    head_index: int
+    head_module: str
+    strides: Tuple[int, ...]    # detection strides, e.g. (8, 16, 32)
+    yaml_extras: Tuple[Tuple[str, Any], ...] = ()  # 3D head config keys
+
+
+def _freeze(x):
+    if isinstance(x, list):
+        return tuple(_freeze(v) for v in x)
+    if isinstance(x, dict):
+        return tuple(sorted((k, _freeze(v)) for k, v in x.items()))
+    return x
+
+
+def parse_model_yaml(
+    cfg: Union[str, dict], scale: Optional[str] = None, ch: int = 3,
+    nc: Optional[int] = None,
+) -> ModelSpec:
+    """Compile a model YAML (reference dialect) into a static ModelSpec.
+
+    Channel/depth scaling follows tasks.py:843-851,869-899 exactly:
+    depth gain n = max(round(n*depth),1) for n>1; width gain
+    c2 = make_divisible(min(c2, max_channels) * width, 8).
+    """
+    if isinstance(cfg, (str,)):
+        import re
+        from pathlib import Path
+
+        path = Path(cfg)
+        stem = path.stem
+        m = re.search(r"yolov10([nsmblx])", stem)
+        if scale is None and m:
+            scale = m.group(1)
+        with open(path) as f:
+            d = yaml.safe_load(f)
+    else:
+        d = dict(cfg)
+
+    d_nc = int(nc if nc is not None else d.get("nc", 80))
+    depth, width, max_channels = 1.0, 1.0, float("inf")
+    scales = d.get("scales")
+    if scales:
+        if scale is None:
+            scale = next(iter(scales))
+        depth, width, max_channels = scales[scale]
+
+    extras = {
+        k: d.get(k)
+        for k in (
+            "dsconv", "channels", "use_predecessors", "detach_predecessors",
+            "deform", "common_head", "num_scales", "half_channels",
+            "fgdm_predictor", "kernel_size_1", "kernel_size_2",
+        )
+        if k in d
+    }
+
+    ch_list: List[int] = [ch]
+    layers: List[LayerSpec] = []
+    save: List[int] = []
+    stride_list: List[int] = []
+    head_index = -1
+    head_module = ""
+    head_strides: Tuple[int, ...] = ()
+
+    rows = list(d["backbone"]) + list(d["head"])
+    for i, (f, n, mname, args) in enumerate(rows):
+        mname = mname.replace("nn.Upsample", "Upsample")
+        args = list(args)
+        for j, a in enumerate(args):
+            if isinstance(a, str) and a == "nc":
+                args[j] = d_nc
+        n = max(round(n * depth), 1) if n > 1 else n
+
+        f_first = f if isinstance(f, int) else f[0]
+        in_stride = 1 if i == 0 else stride_list[f_first]
+
+        if mname in CH_MODULES:
+            c1 = ch_list[f]
+            c2 = args[0]
+            if c2 != d_nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            args = [c2, *args[1:]]
+            if mname in REPEAT_MODULES:
+                args.insert(1, n)
+                n = 1
+            s = 1
+            if mname in ("Conv", "DWConv") and len(args) >= 3:
+                s = args[2]
+            elif mname == "SCDown":
+                s = args[2]
+            out_stride = in_stride * s
+        elif mname == "Upsample":
+            c2 = ch_list[f]
+            out_stride = in_stride // args[1]
+        elif mname == "Concat":
+            c2 = sum(ch_list[x] for x in f)
+            out_stride = in_stride
+            args = []
+        elif mname in HEAD_MODULES:
+            in_ch = tuple(ch_list[x] for x in f)
+            head_strides = tuple(stride_list[x] for x in f)
+            args = [d_nc, in_ch]
+            c2 = 0
+            out_stride = in_stride
+            head_index = i
+            head_module = mname
+        else:
+            raise ValueError(f"unknown module {mname!r} in model yaml")
+
+        layers.append(
+            LayerSpec(
+                i=i,
+                f=f if isinstance(f, int) else tuple(f),
+                n=n,
+                module=mname,
+                args=tuple(_freeze(a) for a in args),
+                c2=c2,
+                stride=out_stride,
+            )
+        )
+        save.extend(x % i for x in ([f] if isinstance(f, int) else f) if x != -1)
+        if i == 0:
+            ch_list = []
+        ch_list.append(c2)
+        stride_list = stride_list if i > 0 else []
+        stride_list.append(out_stride)
+
+    return ModelSpec(
+        nc=d_nc,
+        layers=tuple(layers),
+        save=tuple(sorted(set(save))),
+        head_index=head_index,
+        head_module=head_module,
+        strides=head_strides,
+        yaml_extras=tuple(sorted(extras.items())),
+    )
+
+
+def _build_module(spec: LayerSpec, name: str, extras: Dict[str, Any]):
+    a = spec.args
+    if spec.module == "Conv":
+        k = a[1] if len(a) > 1 else 1
+        s = a[2] if len(a) > 2 else 1
+        return M.Conv(a[0], k, s, name=name)
+    if spec.module == "DWConv":
+        return M.DWConv(*a, name=name)
+    if spec.module == "C2f":
+        c2, n = a[0], a[1]
+        shortcut = a[2] if len(a) > 2 else False
+        return M.C2f(c2, n, shortcut, name=name)
+    if spec.module == "C2fCIB":
+        c2, n = a[0], a[1]
+        shortcut = a[2] if len(a) > 2 else False
+        lk = a[3] if len(a) > 3 else False
+        return M.C2fCIB(c2, n, shortcut, lk, name=name)
+    if spec.module == "SCDown":
+        return M.SCDown(a[0], a[1], a[2], name=name)
+    if spec.module == "SPPF":
+        return M.SPPF(a[0], a[1] if len(a) > 1 else 5, name=name)
+    if spec.module == "PSA":
+        return M.PSA(a[0], name=name)
+    if spec.module == "Upsample":
+        return M.Upsample(2, name=name)
+    if spec.module == "Concat":
+        return M.Concat(name=name)
+    if spec.module == "Detect":
+        return H.Detect(nc=a[0], ch=a[1], name=name)
+    if spec.module == "v10Detect":
+        return H.V10Detect(nc=a[0], ch=a[1], name=name)
+    if spec.module == "v10Detect3d":
+        from .heads3d import V10Detect3d
+
+        return V10Detect3d(nc=a[0], ch=a[1], cfg=tuple(sorted(extras.items())), name=name)
+    raise ValueError(spec.module)
+
+
+class YOLOModel(nn.Module):
+    """The compiled detection model: backbone + PAN neck + head.
+
+    Equivalent of reference DetectionModel/YOLOv10DetectionModel
+    (tasks.py:283,645) but a single pure flax module over NHWC inputs.
+    """
+
+    spec: ModelSpec
+
+    def setup(self):
+        extras = dict(self.spec.yaml_extras)
+        extras["strides"] = self.spec.strides
+        self.layers = [
+            _build_module(s, f"model_{s.i}", extras) for s in self.spec.layers
+        ]
+
+    def __call__(self, x: jax.Array, train: bool = False):
+        """x: (B, H, W, 3) normalized image. Returns head output."""
+        saved: Dict[int, jax.Array] = {}
+        out = x
+        for spec, layer in zip(self.spec.layers, self.layers):
+            if isinstance(spec.f, tuple):
+                inp = [out if j == -1 else saved[j] for j in spec.f]
+            else:
+                inp = out if spec.f == -1 else saved[spec.f]
+
+            if spec.module == "Concat":
+                out = layer(inp)
+            elif spec.module == "Upsample":
+                out = layer(inp)
+            elif spec.module in HEAD_MODULES:
+                out = layer(inp, train)
+            else:
+                out = layer(inp, train)
+            if spec.i in self.spec.save:
+                saved[spec.i] = out
+        return out
+
+
+def build_model(
+    cfg: Union[str, dict], scale: Optional[str] = None, nc: Optional[int] = None
+) -> Tuple[YOLOModel, ModelSpec]:
+    spec = parse_model_yaml(cfg, scale=scale, nc=nc)
+    return YOLOModel(spec=spec), spec

@@ -1,0 +1,361 @@
+"""Neural-net building blocks for the TPU-native YOLOv10(-3D) framework.
+
+All modules are flax.linen, operate in NHWC layout (TPU-native; the reference
+is NCHW torch, cf. /root/reference/ultralytics/nn/modules/{conv,block}.py), and
+are written so that parameter trees map 1:1 onto the reference state_dict names
+(list attributes auto-name children ``attr_i`` which matches torch's ``attr.i``
+after dot->underscore normalisation; see utils/torch_convert.py).
+
+Numerical conventions matching the reference:
+  - activation: SiLU (conv.py:107 ``default_act = nn.SiLU()``)
+  - BatchNorm: eps=1e-3, momentum=0.03 torch-style (torch_utils.py:327
+    ``initialize_weights``) -> flax momentum = 0.97
+  - "same" autopad p = k // 2 (conv.py:28 ``autopad``)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.97  # flax keep-fraction == 1 - torch momentum (0.03)
+
+
+def autopad(k: int, p: Optional[int] = None, d: int = 1) -> int:
+    """'same'-shape padding (reference conv.py:28)."""
+    if d > 1:
+        k = d * (k - 1) + 1
+    if p is None:
+        p = k // 2
+    return p
+
+
+class Conv(nn.Module):
+    """Conv2d + BatchNorm + SiLU (reference conv.py:103 ``Conv``).
+
+    NHWC. ``g`` is the feature group count (depthwise when g == c_in).
+    """
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    d: int = 1
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        pad = autopad(self.k, self.p, self.d)
+        x = nn.Conv(
+            features=self.c2,
+            kernel_size=(self.k, self.k),
+            strides=(self.s, self.s),
+            padding=[(pad, pad), (pad, pad)],
+            feature_group_count=self.g,
+            kernel_dilation=(self.d, self.d),
+            use_bias=False,
+            dtype=x.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=x.dtype,
+            name="bn",
+        )(x)
+        return nn.silu(x) if self.act else x
+
+
+class Conv2d(nn.Module):
+    """Bare conv (torch nn.Conv2d equivalent) for head output layers."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        pad = autopad(self.k, self.p)
+        return nn.Conv(
+            features=self.c2,
+            kernel_size=(self.k, self.k),
+            strides=(self.s, self.s),
+            padding=[(pad, pad), (pad, pad)],
+            feature_group_count=self.g,
+            use_bias=self.bias,
+            dtype=x.dtype,
+        )(x)
+
+
+class DWConv(nn.Module):
+    """Depthwise Conv+BN+SiLU (reference conv.py:170)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        import math
+
+        g = math.gcd(x.shape[-1], self.c2)
+        pad = autopad(self.k)
+        x = nn.Conv(
+            features=self.c2,
+            kernel_size=(self.k, self.k),
+            strides=(self.s, self.s),
+            padding=[(pad, pad), (pad, pad)],
+            feature_group_count=g,
+            use_bias=False,
+            dtype=x.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=x.dtype,
+            name="bn",
+        )(x)
+        return nn.silu(x) if self.act else x
+
+
+class Bottleneck(nn.Module):
+    """Standard bottleneck (reference block.py:327)."""
+
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    k: Tuple[int, int] = (3, 3)
+    e: float = 0.5
+
+    def setup(self):
+        c_ = int(self.c2 * self.e)
+        self.cv1 = Conv(c_, self.k[0], 1)
+        self.cv2 = Conv(self.c2, self.k[1], 1, g=self.g)
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        y = self.cv2(self.cv1(x, train), train)
+        return x + y if (self.shortcut and x.shape[-1] == self.c2) else y
+
+
+class C2f(nn.Module):
+    """Fast CSP bottleneck with 2 convs (reference block.py:216)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+
+    def setup(self):
+        self.c = int(self.c2 * self.e)
+        self.cv1 = Conv(2 * self.c, 1, 1)
+        self.cv2 = Conv(self.c2, 1)
+        self.m = [
+            Bottleneck(self.c, self.shortcut, self.g, k=(3, 3), e=1.0)
+            for _ in range(self.n)
+        ]
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        y = list(jnp.split(self.cv1(x, train), 2, axis=-1))
+        for m in self.m:
+            y.append(m(y[-1], train))
+        return self.cv2(jnp.concatenate(y, axis=-1), train)
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling - fast (reference block.py:158)."""
+
+    c2: int
+    k: int = 5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = x.shape[-1] // 2
+        x = Conv(c_, 1, 1, name="cv1")(x, train)
+        p = self.k // 2
+        pool = lambda t: nn.max_pool(
+            t, (self.k, self.k), strides=(1, 1), padding=[(p, p), (p, p)]
+        )
+        y1 = pool(x)
+        y2 = pool(y1)
+        y3 = pool(y2)
+        return Conv(self.c2, 1, 1, name="cv2")(
+            jnp.concatenate([x, y1, y2, y3], axis=-1), train
+        )
+
+
+class SCDown(nn.Module):
+    """Spatial-channel decoupled downsample (reference block.py:820)."""
+
+    c2: int
+    k: int = 3
+    s: int = 2
+
+    def setup(self):
+        self.cv1 = Conv(self.c2, 1, 1)
+        self.cv2 = Conv(self.c2, self.k, self.s, g=self.c2, act=False)
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        return self.cv2(self.cv1(x, train), train)
+
+
+class RepVGGDW(nn.Module):
+    """Reparameterisable depthwise block (reference block.py:702).
+
+    Train form: 7x7 dw conv + 3x3 dw conv, summed, SiLU. The deploy-time
+    ``fuse()`` folding is a pytree transform (see utils/fuse.py).
+    """
+
+    ed: int
+
+    def setup(self):
+        self.conv = Conv(self.ed, 7, 1, p=3, g=self.ed, act=False)
+        self.conv1 = Conv(self.ed, 3, 1, p=1, g=self.ed, act=False)
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        return nn.silu(self.conv(x, train) + self.conv1(x, train))
+
+
+class CIB(nn.Module):
+    """Compact inverted block (reference block.py:737)."""
+
+    c2: int
+    shortcut: bool = True
+    e: float = 0.5
+    lk: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        # torch wraps these in nn.Sequential named cv1 -> children cv1.0..cv1.4
+        mods = [
+            Conv(c1, 3, g=c1, name="cv1_0"),
+            Conv(2 * c_, 1, name="cv1_1"),
+            (
+                RepVGGDW(2 * c_, name="cv1_2")
+                if self.lk
+                else Conv(2 * c_, 3, g=2 * c_, name="cv1_2")
+            ),
+            Conv(self.c2, 1, name="cv1_3"),
+            Conv(self.c2, 3, g=self.c2, name="cv1_4"),
+        ]
+        y = x
+        for m in mods:
+            y = m(y, train)
+        return x + y if (self.shortcut and c1 == self.c2) else y
+
+
+class C2fCIB(nn.Module):
+    """C2f with CIB inner blocks (reference block.py:760)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    lk: bool = False
+    g: int = 1
+    e: float = 0.5
+
+    def setup(self):
+        self.c = int(self.c2 * self.e)
+        self.cv1 = Conv(2 * self.c, 1, 1)
+        self.cv2 = Conv(self.c2, 1)
+        self.m = [
+            CIB(self.c, self.shortcut, e=1.0, lk=self.lk) for _ in range(self.n)
+        ]
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        y = list(jnp.split(self.cv1(x, train), 2, axis=-1))
+        for m in self.m:
+            y.append(m(y[-1], train))
+        return self.cv2(jnp.concatenate(y, axis=-1), train)
+
+
+class Attention(nn.Module):
+    """Single-scale MHSA with positional-encoding conv (reference block.py:771)."""
+
+    dim: int
+    num_heads: int = 8
+    attn_ratio: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        B, H, W, C = x.shape
+        N = H * W
+        head_dim = self.dim // self.num_heads
+        key_dim = int(head_dim * self.attn_ratio)
+        scale = key_dim**-0.5
+        h = self.dim + key_dim * self.num_heads * 2
+        qkv = Conv(h, 1, act=False, name="qkv")(x, train)
+        qkv = qkv.reshape(B, N, self.num_heads, key_dim * 2 + head_dim)
+        q, k, v = jnp.split(qkv, [key_dim, key_dim * 2], axis=-1)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, H, W, C)
+        pe = Conv(self.dim, 3, 1, g=self.dim, act=False, name="pe")(
+            v.reshape(B, H, W, C), train
+        )
+        return Conv(self.dim, 1, act=False, name="proj")(out + pe, train)
+
+
+class PSA(nn.Module):
+    """Partial self-attention block (reference block.py:799)."""
+
+    c2: int  # == c1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c = int(self.c2 * self.e)
+        ab = Conv(2 * c, 1, 1, name="cv1")(x, train)
+        a, b = jnp.split(ab, 2, axis=-1)
+        b = b + Attention(c, attn_ratio=0.5, num_heads=c // 64, name="attn")(b, train)
+        ffn0 = Conv(c * 2, 1, name="ffn_0")(b, train)
+        b = b + Conv(c, 1, act=False, name="ffn_1")(ffn0, train)
+        return Conv(self.c2, 1, name="cv2")(
+            jnp.concatenate([a, b], axis=-1), train
+        )
+
+
+class Concat(nn.Module):
+    """Channel concat (reference conv.py:385)."""
+
+    axis: int = -1
+
+    def __call__(self, xs: Sequence[jax.Array]) -> jax.Array:
+        return jnp.concatenate(list(xs), axis=self.axis)
+
+
+class Upsample(nn.Module):
+    """Nearest-neighbour 2x upsample (torch nn.Upsample(None, 2, 'nearest'))."""
+
+    scale: int = 2
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = jnp.repeat(x, self.scale, axis=1)
+        return jnp.repeat(x, self.scale, axis=2)
+
+
+def dfl_decode(box_logits: jax.Array, reg_max: int = 16) -> jax.Array:
+    """Integral (DFL) box decode: softmax over reg_max bins -> expectation.
+
+    Replaces the reference's fixed-weight 1x1 conv (block.py:44 ``DFL``):
+    input (..., 4*reg_max) -> output (..., 4).
+    """
+    shape = box_logits.shape
+    x = box_logits.reshape(*shape[:-1], 4, reg_max)
+    p = jax.nn.softmax(x.astype(jnp.float32), axis=-1)
+    proj = jnp.arange(reg_max, dtype=jnp.float32)
+    return (p * proj).sum(-1)

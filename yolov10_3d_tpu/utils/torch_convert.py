@@ -1,0 +1,110 @@
+"""Torch-checkpoint -> flax pytree weight converter.
+
+The reference saves full pickled nn.Modules (trainer.py:514-541); its
+state_dict names are dotted module paths like ``model.6.m.0.cv1.conv.weight``.
+Our flax modules are named so that a flax parameter path, joined with ``_``,
+equals the torch prefix with dots replaced by underscores — so conversion is a
+pure dictionary re-keying plus layout transposes:
+
+    conv weight  (O, I/g, kH, kW)  ->  kernel (kH, kW, I/g, O)
+    linear weight (O, I)           ->  kernel (I, O)
+    bn weight/bias                 ->  params/.../bn/{scale,bias}
+    bn running_mean/var            ->  batch_stats/.../bn/{mean,var}
+
+DFL projection weights (block.py:44 — a frozen arange) are dropped: our decode
+is the closed-form expectation (nn/modules.py dfl_decode).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import jax
+import numpy as np
+
+
+def _normalize(key: str) -> Tuple[str, str]:
+    """Split a torch state_dict key into (normalized prefix, leaf name)."""
+    parts = key.split(".")
+    return "_".join(parts[:-1]), parts[-1]
+
+
+def index_torch_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, Dict[str, np.ndarray]]:
+    """Group state_dict entries by normalized module prefix."""
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    for k, v in sd.items():
+        prefix, leaf = _normalize(k)
+        out.setdefault(prefix, {})[leaf] = np.asarray(v)
+    return out
+
+
+def convert_torch_state_dict(
+    sd: Mapping[str, np.ndarray], variables: Mapping[str, Any], strict: bool = True
+) -> Dict[str, Any]:
+    """Fill a flax `variables` tree ({'params': ..., 'batch_stats': ...}) from a
+    torch state_dict (values as numpy arrays). Returns a new tree.
+
+    strict=True raises if a flax leaf has no torch counterpart or shapes
+    mismatch (DFL-style frozen buffers on the torch side are ignored).
+    """
+    idx = index_torch_state_dict(sd)
+    used = set()
+
+    def fill(tree, path, collection):
+        if not isinstance(tree, Mapping):
+            prefix = "_".join(path[:-1])
+            leaf = path[-1]
+            mod = idx.get(prefix)
+            if mod is None:
+                if strict:
+                    raise KeyError(f"no torch module for flax path {'/'.join(path)}")
+                return tree
+            if collection == "params":
+                if leaf == "kernel":
+                    w = mod["weight"]
+                    used.add(prefix + ".weight")
+                    if w.ndim == 4:
+                        w = w.transpose(2, 3, 1, 0)
+                    elif w.ndim == 2:
+                        w = w.transpose(1, 0)
+                elif leaf == "scale":
+                    w = mod["weight"]
+                    used.add(prefix + ".weight")
+                elif leaf == "bias":
+                    w = mod["bias"]
+                    used.add(prefix + ".bias")
+                else:
+                    raise KeyError(f"unknown param leaf {leaf} at {prefix}")
+            else:  # batch_stats
+                name = {"mean": "running_mean", "var": "running_var"}[leaf]
+                w = mod[name]
+                used.add(prefix + "." + name)
+            if tuple(w.shape) != tuple(tree.shape):
+                raise ValueError(
+                    f"shape mismatch at {prefix}.{leaf}: torch {w.shape} vs flax {tree.shape}"
+                )
+            return jax.numpy.asarray(w, dtype=tree.dtype)
+        return {k: fill(v, path + (k,), collection) for k, v in tree.items()}
+
+    out = {}
+    for coll, tree in variables.items():
+        out[coll] = fill(tree, (), coll)
+    return out
+
+
+def unconverted_keys(sd: Mapping[str, np.ndarray], variables: Mapping[str, Any]):
+    """Diagnostic: torch keys that would not be consumed by conversion."""
+    idx = index_torch_state_dict(sd)
+    flax_prefixes = set()
+
+    def walk(tree, path):
+        if not isinstance(tree, Mapping):
+            flax_prefixes.add("_".join(path[:-1]))
+            return
+        for k, v in tree.items():
+            walk(v, path + (k,))
+
+    for tree in variables.values():
+        walk(tree, ())
+    missing = [p for p in idx if p not in flax_prefixes]
+    return missing
