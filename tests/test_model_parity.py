@@ -11,15 +11,12 @@ from yolov10_3d_tpu.nn.build import build_model
 from yolov10_3d_tpu.utils.torch_convert import convert_torch_state_dict
 
 from _oracle import reference_model, state_dict_numpy
-
-CFG_DIR = "yolov10_3d_tpu/cfg/models/v10"
+from _helpers import build_jax
 
 
 def _build_pair(scale: str):
     ref = reference_model(f"yolov10{scale}")
-    model, spec = build_model(f"{CFG_DIR}/yolov10{scale}.yaml")
-    x = jnp.zeros((1, 64, 64, 3))
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    model, spec, variables = build_jax(scale)
     return ref, model, spec, variables
 
 
@@ -54,7 +51,9 @@ def test_forward_parity(scale):
     with torch.no_grad():
         out_t = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
 
-    out_j = model.apply(variables, jnp.asarray(x), train=False)
+    from _helpers import apply_model
+
+    out_j = apply_model(model, variables, jnp.asarray(x))
 
     for branch in ("one2many", "one2one"):
         for i, (a, b) in enumerate(zip(out_j[branch], out_t[branch])):

@@ -1,0 +1,105 @@
+"""NMS-free decode + top-k postprocess (reference: head.py:53 ``inference``,
+ops.py:852 ``v10postprocess``, ops.py:867 ``v10_3Dpostprocess``).
+
+These are already XLA-shaped in spirit (pure top-k / gathers); here they are
+single fused jit-friendly functions over fixed shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.modules import dfl_decode
+from .boxes import dist2bbox, make_anchors
+
+REG_MAX = 16
+
+
+def flatten_feats(feats: Sequence[jax.Array]) -> Tuple[jax.Array, List[Tuple[int, int]]]:
+    """[(B,H,W,C)...] -> (B, sum(H*W), C), plus per-scale (H, W)."""
+    shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    flat = jnp.concatenate([f.reshape(f.shape[0], -1, f.shape[-1]) for f in feats], axis=1)
+    return flat, shapes
+
+
+def decode_detect(
+    feats: Sequence[jax.Array], strides: Sequence[int], nc: int, reg_max: int = REG_MAX
+) -> jax.Array:
+    """Raw per-scale head maps -> (B, A, 4 + nc): xyxy boxes in input pixels +
+    sigmoid class scores. Equivalent of Detect.inference (head.py:53-79) minus
+    the xywh convention: we decode straight to xyxy (what postprocess needs).
+    """
+    x, shapes = flatten_feats(feats)
+    anchor_points, stride_tensor = make_anchors(shapes, strides, 0.5)
+    box_logits, cls_logits = x[..., : 4 * reg_max], x[..., 4 * reg_max :]
+    dist = dfl_decode(box_logits, reg_max)  # (B, A, 4)
+    boxes = dist2bbox(dist, anchor_points[None], xywh=False) * stride_tensor[None]
+    scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+    return jnp.concatenate([boxes, scores], axis=-1)
+
+
+def v10_postprocess(
+    preds: jax.Array, max_det: int, nc: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """NMS-free top-k selection (reference ops.py:852 ``v10postprocess``).
+
+    preds: (B, A, 4 + nc) decoded boxes+scores. Returns (boxes (B,max_det,4),
+    scores (B,max_det), labels (B,max_det)). Two-stage top-k exactly as the
+    reference: first top-max_det anchors by best-class score, then top-max_det
+    (anchor, class) pairs among those.
+    """
+    boxes, scores = preds[..., :4], preds[..., 4:]
+    max_scores = scores.max(axis=-1)  # (B, A)
+    _, idx = jax.lax.top_k(max_scores, max_det)  # (B, max_det)
+    boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    scores = jnp.take_along_axis(scores, idx[..., None], axis=1)  # (B, max_det, nc)
+
+    flat = scores.reshape(scores.shape[0], -1)  # (B, max_det*nc)
+    top_scores, flat_idx = jax.lax.top_k(flat, max_det)
+    labels = flat_idx % nc
+    anchor_idx = flat_idx // nc
+    boxes = jnp.take_along_axis(boxes, anchor_idx[..., None], axis=1)
+    return boxes, top_scores, labels
+
+
+def v10_3d_postprocess(
+    preds: jax.Array, max_det: int, nc: int = 3
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """3D variant (reference ops.py:867): preds (B, A, nc + R) with the
+    regression block R (= 35 for the 13-dof 3D param set) after class scores.
+    Returns (reg (B,max_det,R), scores (B,max_det), labels (B,max_det))."""
+    scores, reg = preds[..., :nc], preds[..., nc:]
+    max_scores = scores.max(axis=-1)
+    _, idx = jax.lax.top_k(max_scores, max_det)
+    reg = jnp.take_along_axis(reg, idx[..., None], axis=1)
+    scores = jnp.take_along_axis(scores, idx[..., None], axis=1)
+
+    flat = scores.reshape(scores.shape[0], -1)
+    top_scores, flat_idx = jax.lax.top_k(flat, max_det)
+    labels = flat_idx % nc
+    anchor_idx = flat_idx // nc
+    reg = jnp.take_along_axis(reg, anchor_idx[..., None], axis=1)
+    return reg, top_scores, labels
+
+
+def v10_detections(
+    feats: Sequence[jax.Array],
+    strides: Sequence[int],
+    nc: int,
+    max_det: int = 300,
+    conf: float = 0.0,
+) -> Dict[str, jax.Array]:
+    """Full eval epilogue: decode + top-k + confidence mask.
+
+    Returns dict(boxes (B,max_det,4) xyxy input-pixels, scores, labels, valid).
+    Fixed shapes; `valid` marks detections above `conf` (reference
+    yolov10/predict.py:8-38 applies the mask by boolean indexing — we keep the
+    padded layout, TPU-friendly).
+    """
+    preds = decode_detect(feats, strides, nc)
+    boxes, scores, labels = v10_postprocess(preds, max_det, nc)
+    valid = scores > conf
+    return {"boxes": boxes, "scores": scores, "labels": labels, "valid": valid}
