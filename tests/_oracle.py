@@ -101,6 +101,12 @@ def _install_torchvision_stub():
 def load_reference():
     """Returns the reference ultralytics package (imported from /root/reference)."""
     _install_torchvision_stub()
+    # the reference hardcodes .cuda() in compute_heading_loss (loss.py:1132);
+    # make .cuda() a no-op on this CPU-only torch build
+    import torch
+
+    if not torch.cuda.is_available():
+        torch.Tensor.cuda = lambda self, *a, **k: self
     if _REF not in sys.path:
         sys.path.insert(0, _REF)
     import ultralytics  # noqa
@@ -115,7 +121,18 @@ def reference_model(cfg_name: str, nc=None):
 
     cfg = f"{_REF}/ultralytics/cfg/models/v10/{cfg_name}.yaml"
     if "3D" in cfg_name:
-        cfg = f"{_REF}/ultralytics/cfg/models/v10-3D/{cfg_name}.yaml"
+        # the reference crashes on its own shipped n/s/b/l/x 3D yamls: parse_model
+        # passes kernel_size_1=None which v10Detect3d.__init__ subtracts from
+        # (head.py:579); inject the intended default of 3
+        import yaml as _yaml
+
+        with open(f"{_REF}/ultralytics/cfg/models/v10-3D/{cfg_name}.yaml") as f:
+            d = _yaml.safe_load(f)
+        d.setdefault("kernel_size_1", 3)
+        d.setdefault("kernel_size_2", 3)
+        d["scale"] = cfg_name.split("_")[0][-1]
+        d["yaml_file"] = cfg_name
+        cfg = d
     model = DetectionModel(cfg, verbose=False)
     model.eval()
     return model

@@ -187,7 +187,7 @@ def parse_model_yaml(
         head_index=head_index,
         head_module=head_module,
         strides=head_strides,
-        yaml_extras=tuple(sorted(extras.items())),
+        yaml_extras=tuple(sorted((k, _freeze(v)) for k, v in extras.items())),
     )
 
 

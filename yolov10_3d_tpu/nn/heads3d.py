@@ -1,0 +1,310 @@
+"""Monocular-3D detection head (reference: head.py:545 ``v10Detect3d``).
+
+8 decoupled regression branches per scale (cls, o2d, s2d, o3d, s3d, hd, dep,
+dep_un), duplicated into one-to-one (o2o, on stop-gradient features) and
+one-to-many (o2m) sets for consistent dual assignment.
+
+TPU design note: the reference's eval path runs 7 regression heads only on
+sparse top-50 patches (head.py:694 ``inference_forward_feat``). Patch conv with
+zero padding equals the dense padded conv at every location, so the dense
+forward is numerically identical; dense is the XLA-regular choice and the
+top-k select happens in the fused decode epilogue instead (SURVEY.md §7 hard
+part 5).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .modules import Conv
+
+OUTPUT_CHANNELS = {
+    "cls": None,  # nc
+    "o2d": 2,
+    "s2d": 2,
+    "o3d": 2,
+    "s3d": 3,
+    "hd": 24,
+    "dep": 1,
+    "dep_un": 1,
+}
+
+# feature-chaining graph when use_predecessors (head.py:585-593)
+PREDECESSORS = {
+    "cls": [],
+    "o2d": [],
+    "s2d": [],
+    "o3d": ["cls"],
+    "s3d": ["cls"],
+    "hd": ["cls"],
+    "dep": ["cls", "s3d"],
+    "dep_un": ["cls", "s3d", "dep"],
+}
+DEP_NORM = 65.0
+
+
+def _conv1x1(features: int) -> nn.Conv:
+    return nn.Conv(features=features, kernel_size=(1, 1), padding="VALID", use_bias=True)
+
+
+def _build_conv(c2: int, k: int, dsconv: bool) -> object:
+    """head.py:652 ``build_conv``: plain Conv or depthwise-separable pair."""
+    if dsconv:
+        return ["__dsconv__", k, c2]  # resolved in _branch (needs input ch)
+    return Conv(c2, k)
+
+
+class V10Detect3d(nn.Module):
+    """Raw per-scale maps out; decode lives in ops.postprocess.decode_detect3d."""
+
+    nc: int
+    ch: Tuple[int, ...]
+    cfg: Tuple[Tuple[str, object], ...] = ()
+    max_det: int = 50
+
+    def setup(self):
+        cfg = dict(self.cfg)
+        self.dsconv = bool(cfg.get("dsconv") or False)
+        self.use_predecessors = bool(cfg.get("use_predecessors") or False)
+        self.detach_predecessors = cfg.get("detach_predecessors")
+        self.common_head = bool(cfg.get("common_head") or False)
+        self.half_channels = bool(cfg.get("half_channels") or False)
+        self.fgdm_pred = bool(cfg.get("fgdm_predictor") or False)
+        self.k1 = int(cfg.get("kernel_size_1") or 3)
+        self.k2 = int(cfg.get("kernel_size_2") or 3)
+        self.nl = int(cfg.get("num_scales") or len(self.ch))
+        channels = dict(cfg.get("channels") or {})
+        ch = list(self.ch[: self.nl])
+
+        out_ch = dict(OUTPUT_CHANNELS)
+        out_ch["cls"] = self.nc
+        self.output_channels = out_ch
+        self.no = sum(out_ch.values())
+
+        def extra(name):
+            if not self.use_predecessors:
+                return 0
+            return sum(out_ch[p] for p in PREDECESSORS[name])
+
+        def branch(name):
+            """One head over all scales: [Conv(k1), Conv(k2), 1x1] each
+            (head.py:631 ``build_head``); small variant when common_head."""
+            mid = int(channels.get(f"{name}_c", 128))
+            out = out_ch[name]
+            mid2 = mid // 2 if self.half_channels else mid
+            scales = []
+            for c_in in ch:
+                if self.common_head:
+                    mods = [Conv(mid, self.k1), _conv1x1(out)]
+                elif self.dsconv:
+                    cin_tot = c_in + extra(name)
+                    mods = [
+                        [Conv(cin_tot, self.k1, g=cin_tot), Conv(mid, 1)],
+                        [Conv(mid, self.k2, g=mid), Conv(mid2, 1)],
+                        _conv1x1(out),
+                    ]
+                else:
+                    mods = [Conv(mid, self.k1), Conv(mid2, self.k2), _conv1x1(out)]
+                scales.append(mods)
+            return scales
+
+        names = list(out_ch.keys())
+        # o2o heads use the torch attribute names cls/o2d/... (head.py:627);
+        # o2m heads are the deepcopy registered as o2m_heads.{j}
+        self.cls = branch("cls")
+        self.o2d = branch("o2d")
+        self.s2d = branch("s2d")
+        self.o3d = branch("o3d")
+        self.s3d = branch("s3d")
+        self.hd = branch("hd")
+        self.dep = branch("dep")
+        self.dep_un = branch("dep_un")
+        self.o2m_heads = [branch(n) for n in names]
+        if self.common_head:
+            self.common = [
+                Conv(c, 3) if not self.dsconv else [Conv(c, 3, g=c), Conv(c, 1)]
+                for c in ch
+            ]
+        if self.fgdm_pred:
+            self.fgdm_predictor = DepthPredictor(ch=tuple(ch))
+
+    # flax requires dict attrs assigned in setup to have module leaves; we use
+    # a dict of lists — supported (names: heads_o2o_cls_0_0, ...). To keep
+    # torch-key parity we instead expose properties below.
+
+    def _run(self, mods, x, train):
+        for m in mods:
+            if isinstance(m, (list, tuple)):
+                x = self._run(m, x, train)
+            elif isinstance(m, nn.Conv):
+                x = m(x)
+            else:
+                x = m(x, train)
+        return x
+
+    def _forward_feat(self, xs, heads, train):
+        """head.py:717 ``forward_feat``: run 8 branches per scale, chaining
+        predecessor outputs when configured; returns (maps, dep embeddings)."""
+        names = list(self.output_channels.keys())
+        ys, embs = [], []
+        for i in range(self.nl):
+            x = xs[i]
+            if self.common_head:
+                x = self._run(
+                    self.common[i] if isinstance(self.common[i], list) else [self.common[i]],
+                    x,
+                    train,
+                )
+            outputs = {}
+            emb = None
+            for j, name in enumerate(names):
+                mods = heads[j][i]
+                if self.use_predecessors and PREDECESSORS[name]:
+                    preds = [
+                        outputs[k] / DEP_NORM if k == "dep" else outputs[k]
+                        for k in PREDECESSORS[name]
+                    ]
+                    inp = jnp.concatenate(
+                        [x] + [jax.lax.stop_gradient(p) for p in preds], axis=-1
+                    )
+                else:
+                    inp = x
+                if name == "dep" and not self.common_head:
+                    # expose the first-conv embeddings for distillation
+                    # (head.py:745 ``single_head_forward``)
+                    e = self._run([mods[0]], inp, train)
+                    emb = e
+                    outputs[name] = self._run(mods[1:], e, train)
+                else:
+                    outputs[name] = self._run(mods, inp, train)
+            ys.append(jnp.concatenate([outputs[n] for n in names], axis=-1))
+            embs.append(emb)
+        return ys, embs
+
+    def __call__(self, xs: Sequence[jax.Array], train: bool = False) -> Dict[str, object]:
+        xs = list(xs[: self.nl])
+        o2o_heads = [self.cls, self.o2d, self.s2d, self.o3d, self.s3d, self.hd, self.dep, self.dep_un]
+        xs_det = [jax.lax.stop_gradient(x) for x in xs]
+        one2one, o2o_embs = self._forward_feat(xs_det, o2o_heads, train)
+        one2many, o2m_embs = self._forward_feat(xs, self.o2m_heads, train)
+        out = {
+            "one2many": one2many,
+            "one2one": one2one,
+            "o2m_embs": o2m_embs,
+            "o2o_embs": o2o_embs,
+        }
+        if self.fgdm_pred:
+            out["depth_maps"] = self.fgdm_predictor(xs, train)
+        return out
+
+
+class DepthPredictor(nn.Module):
+    """MonoDETR-style foreground depth-map head (reference head.py:978):
+    P3 downsampled + P4 projected + P5 upsampled, fused at P4 resolution with
+    GroupNorm(32); two conv+GN+ReLU stages; (D+1)-bin LID depth logits with
+    softmax-weighted expected depth."""
+
+    ch: Tuple[int, ...]
+    depth_bins: int = 80
+    depth_min: float = 1.0
+    depth_max: float = 70.0
+    hidden: int = 128
+
+    def setup(self):
+        import numpy as np
+
+        bin_size = 2 * (self.depth_max - self.depth_min) / (
+            self.depth_bins * (1 + self.depth_bins)
+        )
+        idx = np.arange(self.depth_bins, dtype=np.float32)
+        bin_value = (idx + 0.5) ** 2 * bin_size / 2 - bin_size / 8 + self.depth_min
+        self.depth_bin_values = jnp.asarray(
+            np.concatenate([bin_value, [self.depth_max]]).astype(np.float32)
+        )
+        d = self.hidden
+        gn = lambda: nn.GroupNorm(num_groups=32)
+        self.downsample = [
+            nn.Conv(d, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]), gn()
+        ]
+        self.proj = [_conv1x1(d), gn()]
+        self.upsample = [_conv1x1(d), gn()]
+        # torch Sequential indices skip the (param-free) ReLUs at 2 and 5
+        self.depth_head_0 = nn.Conv(d, (3, 3), padding=[(1, 1), (1, 1)])
+        self.depth_head_1 = gn()
+        self.depth_head_3 = nn.Conv(d, (3, 3), padding=[(1, 1), (1, 1)])
+        self.depth_head_4 = gn()
+        self.depth_classifier = _conv1x1(self.depth_bins + 1)
+
+    def __call__(self, xs: Sequence[jax.Array], train: bool = False):
+        assert len(xs) >= 3
+        src_8 = self.downsample[1](self.downsample[0](xs[0]))
+        src_16 = self.proj[1](self.proj[0](xs[1]))
+        p5 = jax.image.resize(
+            xs[2], xs[2].shape[:1] + src_16.shape[1:3] + xs[2].shape[3:], "bilinear"
+        )
+        src_32 = self.upsample[1](self.upsample[0](p5))
+        src = (src_8 + src_16 + src_32) / 3
+        src = nn.relu(self.depth_head_1(self.depth_head_0(src)))
+        emb = src
+        src = nn.relu(self.depth_head_4(self.depth_head_3(src)))
+        logits = self.depth_classifier(src)  # (B, H, W, D+1)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        weighted_depth = (probs * self.depth_bin_values).sum(-1)
+        return logits, weighted_depth, emb
+
+
+def detect3d_bias_init(params: dict, nc: int, strides: Sequence[int], rng=None) -> dict:
+    """Reference bias init (head.py:847-871): per-scale depth bias 45/25/10,
+    cls prior bias for 1280x384 inputs, s2d bias 6, s3d weight std 0.05, dep
+    weight uniform in per-scale ranges. Applied to BOTH o2o and o2m copies
+    (the reference deep-copies o2m after bias_init, head.py:869-870)."""
+    import flax
+    import numpy as np
+
+    rng = np.random.default_rng(0) if rng is None else rng
+    params = flax.core.unfreeze(params)
+    nl = len(strides)
+    deps = {1: [40.0], 2: [45.0, 20.0], 3: [45.0, 25.0, 10.0]}[nl]
+    ranges = {1: [(-3.5, 3.5)], 2: [(-2, 2), (-2, 2)], 3: [(-2, 2), (-1.5, 1.5), (-1, 1)]}[nl]
+    names = list(OUTPUT_CHANNELS.keys())
+
+    def final_key(prefix, name, i):
+        # last layer of branch = the 1x1 conv, child index 2 (or 1 if common)
+        for li in (2, 1):
+            k = f"{prefix}{name}_{i}_{li}"
+            if k in params:
+                return k
+        raise KeyError(f"no final conv for {prefix}{name}_{i}")
+
+    for prefix_i, prefix in enumerate(("", "o2m_heads_")):
+        for i, s in enumerate(strides):
+            def pkey(name):
+                if prefix == "o2m_heads_":
+                    j = names.index(name)
+                    return final_key(prefix, str(j), i)
+                return final_key(prefix, name, i)
+
+            cls_k = pkey("cls")
+            b = params[cls_k]["bias"]
+            params[cls_k]["bias"] = jnp.full_like(
+                b, math.log(5 / nc / ((1280 / s) * (384 / s)))
+            )
+            params[pkey("s2d")]["bias"] = jnp.full_like(params[pkey("s2d")]["bias"], 6.0)
+            for nm in ("o2d", "o3d", "s3d"):
+                params[pkey(nm)]["bias"] = jnp.zeros_like(params[pkey(nm)]["bias"])
+            w = params[pkey("s3d")]["kernel"]
+            params[pkey("s3d")]["kernel"] = jnp.asarray(
+                rng.normal(0.0, 0.05, w.shape).astype(np.float32)
+            )
+            params[pkey("dep")]["bias"] = jnp.full_like(params[pkey("dep")]["bias"], deps[i])
+            wd = params[pkey("dep")]["kernel"]
+            lo, hi = ranges[i]
+            params[pkey("dep")]["kernel"] = jnp.asarray(
+                rng.uniform(lo, hi, wd.shape).astype(np.float32)
+            )
+    return params

@@ -41,6 +41,28 @@ def decode_detect(
     return jnp.concatenate([boxes, scores], axis=-1)
 
 
+def decode_detect3d(
+    feats: Sequence[jax.Array], strides: Sequence[int], nc: int
+) -> jax.Array:
+    """Raw v10Detect3d maps -> (B, A, nc + 35) decoded predictions
+    (reference head.py:756 ``v10Detect3d.decode``): split
+    (nc, o2d 2, s2d 2, o3d 2, s3d 3, hd 24, dep 1, dep_un 1); 2D box to xyxy
+    input pixels via (anchor + offset ± size/2) * stride; 3D center to pixels.
+    Class scores stay raw logits (the reference decode does not sigmoid)."""
+    x, shapes = flatten_feats(feats)
+    x = x.astype(jnp.float32)
+    anchor_points, stride_tensor = make_anchors(shapes, strides, 0.5)
+    cls = x[..., :nc]
+    o2d = x[..., nc : nc + 2]
+    s2d = x[..., nc + 2 : nc + 4]
+    rest = x[..., nc + 4 :]  # o3d(2), s3d(3), hd(24), dep(1), dep_un(1)
+    s2d_px = s2d * stride_tensor[None]
+    c2d_px = (o2d + anchor_points[None]) * stride_tensor[None]
+    bbox = jnp.concatenate([c2d_px - s2d_px / 2, c2d_px + s2d_px / 2], axis=-1)
+    center3d = (rest[..., :2] + anchor_points[None]) * stride_tensor[None]
+    return jnp.concatenate([cls, bbox, center3d, rest[..., 2:]], axis=-1)
+
+
 def v10_postprocess(
     preds: jax.Array, max_det: int, nc: int
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
