@@ -1,0 +1,109 @@
+"""`yolo10` CLI (reference: cfg/__init__.py:444 ``entrypoint``).
+
+Grammar: ``yolo10 TASK MODE key=value ...`` with TASK in {detect, detect3d}
+and MODE in {train, val, predict, export, benchmark}; both optional, inferred
+like the reference. Special commands: help, version, settings, cfg.
+"""
+
+from __future__ import annotations
+
+import ast
+import sys
+from typing import Any, Dict, List
+
+TASKS = {"detect", "detect3d"}
+MODES = {"train", "val", "predict", "export", "track", "benchmark"}
+
+HELP = """yolo10 TASK MODE key=value ...
+
+  TASK: detect | detect3d        (optional, inferred from model name)
+  MODE: train | val | predict | export | benchmark
+
+examples:
+  yolo10 predict model=yolov10n.ckpt source=img.jpg conf=0.25
+  yolo10 train model=yolov10s.yaml data=coco128.yaml epochs=100 imgsz=640
+  yolo10 detect3d train model=yolov10s_3D.yaml data=kitti.yaml
+  yolo10 export model=yolov10s.ckpt format=stablehlo
+  yolo10 cfg                      # print default config
+"""
+
+
+def parse_kv(args: List[str]) -> Dict[str, Any]:
+    out = {}
+    for a in args:
+        if "=" not in a:
+            raise SystemExit(f"expected key=value, got {a!r}\n\n{HELP}")
+        k, v = a.split("=", 1)
+        try:
+            out[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            out[k] = v
+    return out
+
+
+def entrypoint(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("help", "-h", "--help"):
+        print(HELP)
+        return 0
+    if argv[0] == "version":
+        from yolov10_3d_tpu import __version__
+
+        print(__version__)
+        return 0
+    if argv[0] == "cfg":
+        from . import DEFAULT_CFG_PATH
+
+        print(DEFAULT_CFG_PATH.read_text())
+        return 0
+
+    task = None
+    mode = None
+    rest = []
+    for a in argv:
+        if a in TASKS and task is None:
+            task = a
+        elif a in MODES and mode is None:
+            mode = a
+        else:
+            rest.append(a)
+    kv = parse_kv(rest)
+    mode = mode or str(kv.get("mode", "predict"))
+    model_name = str(kv.pop("model", "yolov10n.yaml"))
+    if task is None and "3d" in model_name.lower():
+        task = "detect3d"
+
+    from ..engine.model import YOLO
+
+    model = YOLO(model_name, task=task)
+    if mode == "predict":
+        source = kv.pop("source", None)
+        if source is None:
+            raise SystemExit("predict requires source=...")
+        results = model.predict(source, **kv)
+        for r in results:
+            print(f"{r.path}: {len(r)} detections")
+            for d in r.summary():
+                print(f"  {d['name']} {d['confidence']:.3f} {d['box']}")
+        return 0
+    if mode == "val":
+        res = model.val(**kv)
+        print({k: round(v, 5) for k, v in res.items() if isinstance(v, float)})
+        return 0
+    if mode == "train":
+        model.train(**kv)
+        return 0
+    if mode == "export":
+        out = model.export(**kv)
+        print(f"exported -> {out}")
+        return 0
+    if mode == "benchmark":
+        from ..utils.benchmarks import benchmark
+
+        print(benchmark(model, **kv))
+        return 0
+    raise SystemExit(f"unknown mode {mode!r}\n\n{HELP}")
+
+
+if __name__ == "__main__":
+    raise SystemExit(entrypoint())

@@ -1,0 +1,216 @@
+"""Training augmentations (reference: data/augment.py — Mosaic:135, MixUp:326,
+RandomPerspective:347, RandomHSV:584, RandomFlip:627, v8_transforms:973).
+
+Host-side numpy/cv2 (the reference is cv2 too); labels are (n, 5) =
+[cls, x1, y1, x2, y2] in absolute pixels throughout, converted to normalized
+xywh only at batch-format time.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from .preprocess import letterbox
+
+
+def random_hsv(img: np.ndarray, rng: np.random.Generator, hgain=0.015, sgain=0.7, vgain=0.4):
+    """HSV jitter via LUTs (reference augment.py:584 ``RandomHSV``)."""
+    if hgain or sgain or vgain:
+        r = rng.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
+        hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_RGB2HSV))
+        dtype = img.dtype
+        x = np.arange(0, 256, dtype=r.dtype)
+        lut_hue = ((x * r[0]) % 180).astype(dtype)
+        lut_sat = np.clip(x * r[1], 0, 255).astype(dtype)
+        lut_val = np.clip(x * r[2], 0, 255).astype(dtype)
+        im_hsv = cv2.merge(
+            (cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat), cv2.LUT(val, lut_val))
+        )
+        img = cv2.cvtColor(im_hsv, cv2.COLOR_HSV2RGB)
+    return img
+
+
+def random_flip_lr(img, labels, rng, p=0.5):
+    """Horizontal flip (reference augment.py:627)."""
+    if rng.random() < p:
+        img = np.ascontiguousarray(img[:, ::-1])
+        if len(labels):
+            w = img.shape[1]
+            x1 = labels[:, 1].copy()
+            labels[:, 1] = w - labels[:, 3]
+            labels[:, 3] = w - x1
+        return img, labels, True
+    return img, labels, False
+
+
+def mosaic4(
+    items: List[Tuple[np.ndarray, np.ndarray]],
+    imgsz: Tuple[int, int],
+    rng: np.random.Generator,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """4-image mosaic (reference augment.py:135 ``Mosaic._mosaic4``).
+    items: [(img HWC uint8, labels (n,5) cls+xyxy px)] x4; imgsz (h, w)."""
+    sh, sw = imgsz
+    yc = int(rng.uniform(sh // 2, 2 * sh - sh // 2))
+    xc = int(rng.uniform(sw // 2, 2 * sw - sw // 2))
+    canvas = np.full((sh * 2, sw * 2, 3), 114, np.uint8)
+    out_labels = []
+    for i, (img, labels) in enumerate(items):
+        h, w = img.shape[:2]
+        if i == 0:  # top-left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+        elif i == 1:  # top-right
+            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, sw * 2), yc
+            x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+        elif i == 2:  # bottom-left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(sh * 2, yc + h)
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+        else:  # bottom-right
+            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, sw * 2), min(sh * 2, yc + h)
+            x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+        canvas[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+        if len(labels):
+            lab = labels.copy()
+            lab[:, [1, 3]] += x1a - x1b
+            lab[:, [2, 4]] += y1a - y1b
+            out_labels.append(lab)
+    labels = np.concatenate(out_labels) if out_labels else np.zeros((0, 5), np.float32)
+    labels[:, 1:] = labels[:, 1:].clip(0, [sw * 2, sh * 2, sw * 2, sh * 2])
+    return canvas, labels
+
+
+def random_perspective(
+    img: np.ndarray,
+    labels: np.ndarray,
+    rng: np.random.Generator,
+    imgsz: Tuple[int, int],
+    degrees=0.0,
+    translate=0.1,
+    scale=0.5,
+    shear=0.0,
+    perspective=0.0,
+    border: Tuple[int, int] = (0, 0),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Affine/perspective warp + box transform + candidate filter
+    (reference augment.py:347 ``RandomPerspective``). imgsz (h, w)."""
+    h = imgsz[0] + border[0] * 2
+    w = imgsz[1] + border[1] * 2
+
+    C = np.eye(3)
+    C[0, 2] = -img.shape[1] / 2
+    C[1, 2] = -img.shape[0] / 2
+    P = np.eye(3)
+    P[2, 0] = rng.uniform(-perspective, perspective)
+    P[2, 1] = rng.uniform(-perspective, perspective)
+    R = np.eye(3)
+    a = rng.uniform(-degrees, degrees)
+    s = rng.uniform(1 - scale, 1 + scale)
+    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
+    S = np.eye(3)
+    S[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    S[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    T = np.eye(3)
+    T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * w
+    T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * h
+    M = T @ S @ R @ P @ C
+
+    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
+        if perspective:
+            img = cv2.warpPerspective(img, M, dsize=(w, h), borderValue=(114, 114, 114))
+        else:
+            img = cv2.warpAffine(img, M[:2], dsize=(w, h), borderValue=(114, 114, 114))
+
+    n = len(labels)
+    if n:
+        xy = np.ones((n * 4, 3))
+        boxes = labels[:, 1:5]
+        xy[:, :2] = boxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)
+        xy = xy @ M.T
+        xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
+        x = xy[:, [0, 2, 4, 6]]
+        y = xy[:, [1, 3, 5, 7]]
+        new = np.concatenate(
+            (x.min(1), y.min(1), x.max(1), y.max(1))
+        ).reshape(4, n).T
+        new[:, [0, 2]] = new[:, [0, 2]].clip(0, w)
+        new[:, [1, 3]] = new[:, [1, 3]].clip(0, h)
+        # candidate filter (augment.py:558 ``box_candidates``)
+        w1 = boxes[:, 2] - boxes[:, 0]
+        h1 = boxes[:, 3] - boxes[:, 1]
+        w2 = new[:, 2] - new[:, 0]
+        h2 = new[:, 3] - new[:, 1]
+        ar = np.maximum(w2 / (h2 + 1e-16), h2 / (w2 + 1e-16))
+        keep = (
+            (w2 > 2)
+            & (h2 > 2)
+            & (w2 * h2 / (w1 * h1 * s**2 + 1e-16) > 0.1)
+            & (ar < 100)
+        )
+        labels = labels[keep]
+        labels[:, 1:5] = new[keep]
+    return img, labels
+
+
+def mixup(img1, labels1, img2, labels2, rng):
+    """Beta(32,32) image blend (reference augment.py:326 ``MixUp``)."""
+    r = rng.beta(32.0, 32.0)
+    img = (img1.astype(np.float32) * r + img2.astype(np.float32) * (1 - r)).astype(np.uint8)
+    return img, np.concatenate([labels1, labels2], 0)
+
+
+def train_augment(
+    get_item,
+    index: int,
+    n_items: int,
+    rng: np.random.Generator,
+    imgsz: Tuple[int, int],
+    hyp: Dict[str, float],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """The v8 train pipeline (reference augment.py:973 ``v8_transforms``):
+    mosaic(p) -> random_perspective(border=-s/2) -> [mixup(p)] -> hsv -> flip.
+    ``get_item(i) -> (img, labels cls+xyxy px)`` loads raw samples."""
+    sh, sw = imgsz
+    use_mosaic = rng.random() < hyp.get("mosaic", 1.0)
+    if use_mosaic:
+        idxs = [index] + [int(rng.integers(0, n_items)) for _ in range(3)]
+        img, labels = mosaic4([get_item(i) for i in idxs], imgsz, rng)
+        border = (-sh // 2, -sw // 2)
+    else:
+        img, labels = get_item(index)
+        img, ratio, (dw, dh) = letterbox(img, (sh, sw))
+        if len(labels):
+            labels[:, [1, 3]] = labels[:, [1, 3]] * ratio + dw
+            labels[:, [2, 4]] = labels[:, [2, 4]] * ratio + dh
+        border = (0, 0)
+    img, labels = random_perspective(
+        img, labels, rng, imgsz,
+        degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.1),
+        scale=hyp.get("scale", 0.4), shear=hyp.get("shear", 0.0),
+        perspective=hyp.get("perspective", 0.0), border=border,
+    )
+    if use_mosaic and rng.random() < hyp.get("mixup", 0.0):
+        idx2 = int(rng.integers(0, n_items))
+        img2, labels2 = mosaic4(
+            [get_item(int(rng.integers(0, n_items))) for _ in range(4)], imgsz, rng
+        )
+        img2, labels2 = random_perspective(
+            img2, labels2, rng, imgsz,
+            degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.1),
+            scale=hyp.get("scale", 0.4), shear=hyp.get("shear", 0.0),
+            perspective=hyp.get("perspective", 0.0), border=(-sh // 2, -sw // 2),
+        )
+        img, labels = mixup(img, labels, img2, labels2, rng)
+    img = random_hsv(
+        img, rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4)
+    )
+    img, labels, _ = random_flip_lr(img, labels, rng, hyp.get("fliplr", 0.5))
+    return img, labels

@@ -1,0 +1,103 @@
+"""Model export (reference: engine/exporter.py ``Exporter``).
+
+TPU-native primary format: StableHLO via jax.export (portable, ahead-of-time
+compilable, consumable from C++ through PjRt — the equivalent of the
+reference's ONNX/TensorRT path). Also: native .ckpt weights and a pure
+flatbuffer-free "saved_model"-style directory with the MLIR + weights.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Exporter:
+    def __init__(self, model, spec, variables, args=None):
+        self.model = model
+        self.spec = spec
+        self.variables = variables
+        self.args = args
+
+    def _forward(self, max_det: int):
+        spec = self.spec
+        if spec.head_module == "v10Detect3d":
+            from ..ops.postprocess import decode_detect3d, v10_3d_postprocess
+
+            def fwd(variables, x):
+                feats = self.model.apply(variables, x, train=False)["one2one"]
+                nl = len(feats)
+                preds = decode_detect3d(feats, spec.strides[:nl], spec.nc)
+                reg, scores, labels = v10_3d_postprocess(preds, max_det, spec.nc)
+                return reg, jax.nn.sigmoid(scores), labels
+        else:
+            from ..ops.postprocess import v10_detections
+
+            def fwd(variables, x):
+                det = v10_detections(
+                    self.model.apply(variables, x, train=False)["one2one"],
+                    spec.strides, spec.nc, max_det=max_det,
+                )
+                return det["boxes"], det["scores"], det["labels"]
+
+        return fwd
+
+    def __call__(
+        self,
+        fmt: str = "stablehlo",
+        imgsz: Union[int, Tuple[int, int]] = 640,
+        batch: int = 1,
+        max_det: Optional[int] = None,
+        out: Optional[str] = None,
+    ) -> str:
+        hw = (imgsz, imgsz) if isinstance(imgsz, int) else (imgsz[1], imgsz[0])
+        max_det = max_det or (50 if self.spec.head_module == "v10Detect3d" else 300)
+        fwd = self._forward(max_det)
+        x = jnp.zeros((batch, hw[0], hw[1], 3), jnp.float32)
+
+        if fmt in ("stablehlo", "saved_model"):
+            from jax import export as jexport
+
+            closed = jax.jit(lambda x: fwd(self.variables, x))
+            exported = jexport.export(closed)(x)
+            out_dir = Path(out or f"export_{fmt}")
+            out_dir.mkdir(parents=True, exist_ok=True)
+            (out_dir / "model.stablehlo.mlir").write_text(exported.mlir_module())
+            (out_dir / "model.serialized").write_bytes(exported.serialize())
+            meta = {
+                "input_shape": list(x.shape),
+                "outputs": ["boxes_or_reg", "scores", "labels"],
+                "nc": self.spec.nc,
+                "max_det": max_det,
+                "strides": list(self.spec.strides),
+            }
+            (out_dir / "metadata.json").write_text(json.dumps(meta, indent=1))
+            return str(out_dir)
+
+        if fmt == "ckpt":
+            from ..utils.checkpoint import save_checkpoint
+
+            path = out or "model.ckpt"
+            save_checkpoint(
+                path,
+                params=jax.device_get(self.variables["params"]),
+                batch_stats=jax.device_get(self.variables.get("batch_stats", {})),
+                meta={"nc": self.spec.nc, "strides": list(self.spec.strides)},
+            )
+            return path
+
+        raise ValueError(f"unknown export format {fmt!r} (stablehlo, saved_model, ckpt)")
+
+
+def load_exported(path: str):
+    """Round-trip loader for the serialized StableHLO artifact."""
+    from jax import export as jexport
+
+    blob = (Path(path) / "model.serialized").read_bytes()
+    exported = jexport.deserialize(blob)
+    return exported.call

@@ -1,0 +1,204 @@
+"""User-facing model facade (reference: engine/model.py ``Model``,
+models/yolov10/model.py ``YOLOv10``, models/yolov10_3D/model.py).
+
+YOLOv10("yolov10n.yaml").predict/val/train/export — same surface, JAX inside.
+Checkpoints: native .ckpt (utils/checkpoint) or reference .pt via the torch
+weight converter.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Any, Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..cfg import CFG_DIR, Config, get_cfg
+from ..nn.build import build_model
+from ..utils.checkpoint import load_checkpoint
+
+
+def _resolve_model_cfg(name: str) -> Path:
+    p = Path(name)
+    if p.exists():
+        return p
+    stem = p.stem
+    if "3d" in stem.lower():
+        cand = CFG_DIR / "models" / "v10-3D" / f"{stem}.yaml"
+    else:
+        cand = CFG_DIR / "models" / "v10" / f"{stem}.yaml"
+    if cand.exists():
+        return cand
+    raise FileNotFoundError(f"model config not found: {name}")
+
+
+class Model:
+    """Task-routing facade. model may be a YAML (new model) or .ckpt/.pt."""
+
+    task: str = "detect"
+
+    def __init__(self, model: Union[str, Path] = "yolov10n.yaml", task: Optional[str] = None):
+        self.overrides: Dict[str, Any] = {}
+        self.ckpt_meta: Dict[str, Any] = {}
+        self.names: Dict[int, str] = {}
+        if task:
+            self.task = task
+        model = str(model)
+        if model.endswith(".ckpt"):
+            self._load_native(model)
+        elif model.endswith(".pt"):
+            self._load_torch(model)
+        else:
+            self._new(model)
+
+    # -- constructors --
+    def _new(self, cfg_name: str, nc: Optional[int] = None):
+        path = _resolve_model_cfg(cfg_name)
+        self.model_cfg = str(path)
+        self.model, self.spec = build_model(str(path), nc=nc)
+        if self.spec.head_module == "v10Detect3d":
+            self.task = "detect3d"
+        hw = 64
+        x0 = jnp.zeros((1, hw, hw, 3), jnp.float32)
+        self.variables = jax.jit(self.model.init, static_argnames="train")(
+            jax.random.PRNGKey(0), x0, train=False
+        )
+        self.names = {i: f"class{i}" for i in range(self.spec.nc)}
+
+    def _load_native(self, path: str):
+        ckpt = load_checkpoint(path)
+        meta = ckpt["meta"]
+        self.ckpt_meta = meta
+        self._new(meta.get("model_yaml", "yolov10n.yaml"), nc=meta.get("nc"))
+        params = ckpt.get("ema_params") or ckpt["params"]
+        if not params:
+            params = ckpt["params"]
+        self.variables = {"params": params, "batch_stats": ckpt.get("batch_stats", {})}
+        if meta.get("names"):
+            self.names = {int(k): v for k, v in meta["names"].items()}
+        if meta.get("train_args"):
+            self.overrides.update(
+                {k: v for k, v in meta["train_args"].items() if k in ("imgsz", "max_det")}
+            )
+
+    def _load_torch(self, path: str):
+        """Reference .pt checkpoint -> converted variables (prefers EMA like
+        attempt_load_one_weight, tasks.py:815). Requires torch."""
+        import numpy as np
+        import torch
+
+        from ..utils.torch_convert import convert_torch_state_dict
+
+        try:
+            ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        except ModuleNotFoundError as e:
+            raise RuntimeError(
+                f"loading {path} requires the original ultralytics classes on "
+                f"sys.path (pickled nn.Module checkpoints): {e}"
+            ) from e
+        module = ckpt.get("ema") or ckpt.get("model") or ckpt
+        yaml_d = getattr(module, "yaml", None)
+        if yaml_d is None:
+            raise RuntimeError(f"{path}: no model yaml embedded")
+        stem = Path(yaml_d.get("yaml_file", "yolov10n.yaml")).stem
+        self._new(stem, nc=yaml_d.get("nc"))
+        sd = {
+            k: v.detach().float().cpu().numpy()
+            for k, v in module.state_dict().items()
+            if "dfl" not in k
+        }
+        self.variables = convert_torch_state_dict(sd, self.variables, strict=True)
+        names = getattr(module, "names", None) or ckpt.get("names")
+        if names:
+            self.names = {int(k): v for k, v in dict(names).items()}
+
+    # -- API --
+    def _cfg(self, kwargs) -> Config:
+        merged = {**self.overrides, **kwargs}
+        return get_cfg(None, merged)
+
+    def predict(self, source, stream: bool = False, **kwargs):
+        from .predictor import Predictor
+
+        args = self._cfg(kwargs)
+        pred = Predictor(self.model, self.spec, self.variables, args, self.names)
+        results = pred(
+            source,
+            batch_size=kwargs.get("batch", 1),
+            conf=kwargs.get("conf"),
+            max_det=kwargs.get("max_det"),
+            imgsz=kwargs.get("imgsz") or self.overrides.get("imgsz") or 640,
+            classes=kwargs.get("classes"),
+        )
+        return iter(results) if stream else results
+
+    __call__ = predict
+
+    def val(self, data: Optional[str] = None, **kwargs):
+        from ..cfg import load_dataset_yaml
+        from ..data.dataset import DataLoader, YOLODataset
+        from .validator import DetectionValidator
+
+        args = self._cfg({**({"data": data} if data else {}), **kwargs})
+        d = load_dataset_yaml(args.data)
+        imgsz = kwargs.get("imgsz", 640)
+        ds = YOLODataset(Path(d.get("path", ".")) / d["val"], imgsz=imgsz, augment=False)
+        loader = DataLoader(ds, kwargs.get("batch", 16), shuffle=False, drop_last=False)
+        validator = DetectionValidator(self.model, self.spec, args, d["names"])
+        return validator(self.variables, loader, conf=kwargs.get("conf", 0.001))
+
+    def train(self, **kwargs):
+        from .trainer import DetectionTrainer
+        from .trainer3d import Detection3DTrainer
+
+        overrides = {**self.overrides, "model": self.model_cfg, **kwargs}
+        cfg = get_cfg(None, overrides)
+        cls = Detection3DTrainer if self.task == "detect3d" else DetectionTrainer
+        trainer = cls(cfg)
+        state = trainer.train()
+        if state is not None:
+            self.variables = {
+                "params": jax.device_get(state.ema_params),
+                "batch_stats": jax.device_get(state.batch_stats),
+            }
+        return state
+
+    def export(self, **kwargs):
+        from .exporter import Exporter
+
+        fmt = kwargs.pop("format", "stablehlo")
+        imgsz = kwargs.pop("imgsz", 640)
+        out = kwargs.pop("out", None)
+        batch = kwargs.pop("batch", 1)
+        return Exporter(self.model, self.spec, self.variables, self._cfg(kwargs))(
+            fmt=fmt, imgsz=imgsz, out=out, batch=batch
+        )
+
+    def info(self):
+        n_params = sum(v.size for v in jax.tree.leaves(self.variables["params"]))
+        return {
+            "task": self.task,
+            "nc": self.spec.nc,
+            "strides": self.spec.strides,
+            "parameters": int(n_params),
+        }
+
+
+class YOLOv10(Model):
+    task = "detect"
+
+
+class YOLOv10_3D(Model):
+    task = "detect3d"
+
+
+class YOLO(Model):
+    """Stem-dispatching facade (reference cfg/__init__.py:568-585)."""
+
+    def __init__(self, model="yolov10n.yaml", task=None):
+        stem = Path(str(model)).stem.lower()
+        if "3d" in stem:
+            self.task = "detect3d"
+        super().__init__(model, task=task)

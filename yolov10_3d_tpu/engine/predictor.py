@@ -1,0 +1,178 @@
+"""Streaming predictor (reference: engine/predictor.py ``BasePredictor`` +
+models/yolov10/predict.py).
+
+Pipeline: source -> letterbox batch -> jitted forward+decode+top-k (fixed
+shapes, compiled once per input shape) -> host unpad + scale to original
+coords -> Results.
+"""
+
+from __future__ import annotations
+
+import functools
+import glob
+import time
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.preprocess import preprocess_batch
+from ..ops.postprocess import v10_detections, decode_detect3d, v10_3d_postprocess
+from .results import Results
+
+IMG_FORMATS = {"bmp", "jpeg", "jpg", "png", "tif", "tiff", "webp"}
+VID_FORMATS = {"avi", "mkv", "mov", "mp4", "mpeg", "mpg", "webm"}
+
+
+def load_source(source) -> Iterator:
+    """Yield (path, HWC RGB uint8) frames from path/dir/glob/ndarray/PIL/list
+    (reference data/loaders.py source types)."""
+    if isinstance(source, (list, tuple)):
+        for s in source:
+            yield from load_source(s)
+        return
+    if isinstance(source, np.ndarray):
+        yield "array", source
+        return
+    if hasattr(source, "convert"):  # PIL
+        yield "pil", np.asarray(source.convert("RGB"))
+        return
+    p = str(source)
+    path = Path(p)
+    if path.is_dir():
+        for f in sorted(path.rglob("*")):
+            if f.suffix[1:].lower() in IMG_FORMATS:
+                yield from load_source(str(f))
+        return
+    if "*" in p:
+        for f in sorted(glob.glob(p, recursive=True)):
+            yield from load_source(f)
+        return
+    suffix = path.suffix[1:].lower()
+    if suffix in VID_FORMATS:
+        import cv2
+
+        cap = cv2.VideoCapture(p)
+        i = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            yield f"{p}#{i}", cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            i += 1
+        cap.release()
+        return
+    if suffix in IMG_FORMATS:
+        try:
+            import cv2
+
+            im = cv2.imread(p)
+            if im is None:
+                raise FileNotFoundError(p)
+            yield p, cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+        except ImportError:  # pragma: no cover
+            from PIL import Image
+
+            yield p, np.asarray(Image.open(p).convert("RGB"))
+        return
+    raise FileNotFoundError(f"unsupported source: {source!r}")
+
+
+def _scale_boxes_np(boxes, from_shape, to_shape):
+    gain = min(from_shape[0] / to_shape[0], from_shape[1] / to_shape[1])
+    pad_w = round((from_shape[1] - to_shape[1] * gain) / 2 - 0.1)
+    pad_h = round((from_shape[0] - to_shape[0] * gain) / 2 - 0.1)
+    boxes = boxes - np.array([pad_w, pad_h, pad_w, pad_h])
+    boxes = boxes / gain
+    boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, to_shape[1])
+    boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, to_shape[0])
+    return boxes
+
+
+class Predictor:
+    """NMS-free detection predictor."""
+
+    def __init__(self, model, spec, variables, args, names=None):
+        self.model = model
+        self.spec = spec
+        self.variables = variables
+        self.args = args
+        self.names = names or {i: str(i) for i in range(spec.nc)}
+        self.task3d = spec.head_module == "v10Detect3d"
+
+    @functools.lru_cache(maxsize=8)
+    def _forward_fn(self, max_det: int):
+        spec = self.spec
+
+        if self.task3d:
+            @jax.jit
+            def fwd(variables, x):
+                feats = self.model.apply(variables, x, train=False)["one2one"]
+                nl = len(feats)
+                preds = decode_detect3d(feats, spec.strides[:nl], spec.nc)
+                reg, scores, labels = v10_3d_postprocess(preds, max_det, spec.nc)
+                return reg, jax.nn.sigmoid(scores), labels
+        else:
+            @jax.jit
+            def fwd(variables, x):
+                feats = self.model.apply(variables, x, train=False)["one2one"]
+                det = v10_detections(feats, spec.strides, spec.nc, max_det=max_det)
+                return det["boxes"], det["scores"], det["labels"]
+
+        return fwd
+
+    def __call__(
+        self,
+        source,
+        batch_size: int = 1,
+        conf: Optional[float] = None,
+        max_det: Optional[int] = None,
+        imgsz=None,
+        classes: Optional[Sequence[int]] = None,
+    ) -> List[Results]:
+        conf = conf if conf is not None else (self.args.get("conf") or 0.25)
+        max_det = max_det or self.args.get("max_det") or (50 if self.task3d else 300)
+        imgsz = imgsz or self.args.get("imgsz") or 640
+        fwd = self._forward_fn(int(max_det))
+
+        results = []
+        frames = list(load_source(source))
+        for i in range(0, len(frames), batch_size):
+            chunk = frames[i : i + batch_size]
+            t0 = time.perf_counter()
+            batch, orig_shapes = preprocess_batch([f[1] for f in chunk], imgsz)
+            t1 = time.perf_counter()
+            out = fwd(self.variables, jnp.asarray(batch))
+            boxes_or_reg, scores, labels = (np.asarray(o) for o in out)
+            t2 = time.perf_counter()
+            model_hw = batch.shape[1:3]
+            for j, (path, img) in enumerate(chunk):
+                keep = scores[j] > conf
+                if classes is not None:
+                    keep &= np.isin(labels[j], np.asarray(classes))
+                if self.task3d:
+                    reg = boxes_or_reg[j][keep]
+                    b = _scale_boxes_np(reg[:, :4], model_hw, img.shape[:2])
+                    det = np.concatenate(
+                        [b, scores[j][keep, None], labels[j][keep, None]], -1
+                    )
+                    res = Results(
+                        img, path=path, names=self.names, boxes=det,
+                        boxes3d=np.concatenate([det, reg[:, 4:6], reg[:, 6:9],
+                                                np.zeros((len(b), 4), np.float32),
+                                                reg[:, -1:],], -1)[:, :16],
+                    )
+                else:
+                    b = _scale_boxes_np(boxes_or_reg[j][keep], model_hw, img.shape[:2])
+                    det = np.concatenate(
+                        [b, scores[j][keep, None], labels[j][keep, None]], -1
+                    )
+                    res = Results(img, path=path, names=self.names, boxes=det)
+                res.speed = {
+                    "preprocess": (t1 - t0) / len(chunk) * 1e3,
+                    "inference": (t2 - t1) / len(chunk) * 1e3,
+                }
+                results.append(res)
+        return results

@@ -1,0 +1,156 @@
+"""Results containers (reference: engine/results.py ``Results``/``Boxes``).
+
+Fixed-shape padded detections with validity masks end-to-end (TPU-friendly);
+`.numpy()` views drop the padding on the host.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class Boxes:
+    """Detections for one image: xyxy in ORIGINAL image coords + conf + cls."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        # data: (n, 6) = x1, y1, x2, y2, conf, cls
+        self.data = np.asarray(data)
+        self.orig_shape = orig_shape
+
+    @property
+    def xyxy(self):
+        return self.data[:, :4]
+
+    @property
+    def conf(self):
+        return self.data[:, 4]
+
+    @property
+    def cls(self):
+        return self.data[:, 5]
+
+    @property
+    def xywh(self):
+        b = self.data[:, :4]
+        return np.concatenate([(b[:, :2] + b[:, 2:]) / 2, b[:, 2:] - b[:, :2]], -1)
+
+    @property
+    def xyxyn(self):
+        h, w = self.orig_shape
+        return self.xyxy / np.array([w, h, w, h])
+
+    @property
+    def xywhn(self):
+        h, w = self.orig_shape
+        return self.xywh / np.array([w, h, w, h])
+
+    def __len__(self):
+        return len(self.data)
+
+
+class Boxes3D(Boxes):
+    """3D detections: adds projected center, 3D size, heading, depth columns.
+
+    data: (n, 6 + 10) = x1,y1,x2,y2,conf,cls, cx3d,cy3d, h,w,l, ry, x,y,z, dep_sigma
+    """
+
+    @property
+    def center_3d_img(self):
+        return self.data[:, 6:8]
+
+    @property
+    def size_3d(self):
+        return self.data[:, 8:11]
+
+    @property
+    def ry(self):
+        return self.data[:, 11]
+
+    @property
+    def xyz(self):
+        return self.data[:, 12:15]
+
+    @property
+    def depth_sigma(self):
+        return self.data[:, 15]
+
+
+class Results:
+    """Per-image inference result (reference results.py ``Results``)."""
+
+    def __init__(
+        self,
+        orig_img: np.ndarray,
+        path: str = "",
+        names: Optional[Dict[int, str]] = None,
+        boxes: Optional[np.ndarray] = None,
+        boxes3d: Optional[np.ndarray] = None,
+        speed: Optional[Dict[str, float]] = None,
+    ):
+        self.orig_img = orig_img
+        self.orig_shape = orig_img.shape[:2]
+        self.path = path
+        self.names = names or {}
+        self.boxes = Boxes(boxes, self.orig_shape) if boxes is not None else None
+        self.boxes3d = (
+            Boxes3D(boxes3d, self.orig_shape) if boxes3d is not None else None
+        )
+        self.speed = speed or {}
+
+    def __len__(self):
+        return len(self.boxes) if self.boxes is not None else 0
+
+    def summary(self):
+        out = []
+        b = self.boxes
+        if b is None:
+            return out
+        for i in range(len(b)):
+            out.append(
+                {
+                    "name": self.names.get(int(b.cls[i]), str(int(b.cls[i]))),
+                    "class": int(b.cls[i]),
+                    "confidence": float(b.conf[i]),
+                    "box": {k: float(v) for k, v in zip("x1 y1 x2 y2".split(), b.xyxy[i])},
+                }
+            )
+        return out
+
+    def save_txt(self, txt_file, save_conf: bool = False):
+        """YOLO-format txt (reference results.py ``save_txt``)."""
+        lines = []
+        b = self.boxes
+        if b is not None:
+            for i in range(len(b)):
+                c = int(b.cls[i])
+                parts = [str(c)] + [f"{v:.6f}" for v in b.xywhn[i]]
+                if save_conf:
+                    parts.append(f"{b.conf[i]:.6f}")
+                lines.append(" ".join(parts))
+        Path(txt_file).parent.mkdir(parents=True, exist_ok=True)
+        Path(txt_file).write_text("\n".join(lines) + ("\n" if lines else ""))
+        return txt_file
+
+    def plot(self, line_width: Optional[int] = None, font_scale: float = 0.5):
+        """Draw boxes onto a copy of the original image (BGR-safe, cv2)."""
+        import cv2
+
+        img = self.orig_img.copy()
+        b = self.boxes
+        if b is None:
+            return img
+        lw = line_width or max(round(sum(img.shape[:2]) / 2 * 0.003), 2)
+        for i in range(len(b)):
+            x1, y1, x2, y2 = b.xyxy[i].astype(int)
+            c = int(b.cls[i])
+            color = tuple(int(x) for x in np.array([37, 255, 225]) * ((c % 5) + 1) % 256)
+            cv2.rectangle(img, (x1, y1), (x2, y2), color, lw)
+            label = f"{self.names.get(c, c)} {b.conf[i]:.2f}"
+            cv2.putText(
+                img, label, (x1, max(y1 - 4, 12)), cv2.FONT_HERSHEY_SIMPLEX,
+                font_scale, color, max(lw - 1, 1),
+            )
+        return img

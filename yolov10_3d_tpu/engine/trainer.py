@@ -1,0 +1,238 @@
+"""Training driver (reference: engine/trainer.py ``BaseTrainer``).
+
+The hot loop is the jitted sharded train step (train/state.py); this host
+driver handles: dataset/loader build, LR schedule wiring, per-epoch val gated
+by val_period, last/best checkpointing by fitness, results.csv, early
+stopping, close_mosaic, and HTL loss weighting hooks. No DDP subprocess
+relaunch — multi-chip comes from the dp mesh (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import csv
+import math
+import time
+from pathlib import Path
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cfg import Config, get_cfg, load_dataset_yaml
+from ..data.dataset import DataLoader, YOLODataset
+from ..nn.build import build_model
+from ..parallel.mesh import (
+    get_mesh, make_parallel_train_step, replicate_state, shard_batch,
+)
+from ..train.optim import build_optimizer
+from ..train.state import TrainState, eval_variables, make_train_step
+from ..utils.checkpoint import save_checkpoint
+from .validator import DetectionValidator
+
+
+class EarlyStopping:
+    """Fitness-plateau stopper (reference torch_utils.py:553)."""
+
+    def __init__(self, patience: int = 50):
+        self.best_fitness = 0.0
+        self.best_epoch = 0
+        self.patience = patience or float("inf")
+
+    def __call__(self, epoch: int, fitness: float) -> bool:
+        if fitness >= self.best_fitness:
+            self.best_epoch = epoch
+            self.best_fitness = fitness
+        return (epoch - self.best_epoch) >= self.patience
+
+
+class DetectionTrainer:
+    """2D detection trainer. The 3D trainer subclasses and swaps dataset+loss."""
+
+    def __init__(self, cfg: Optional[Config] = None, overrides: Optional[Dict] = None):
+        self.args = cfg if isinstance(cfg, Config) else get_cfg(cfg, overrides or {})
+        self.save_dir = Path(self.args.get("save_dir") or "runs/train")
+        self.state = None
+        self.callbacks: Dict[str, list] = {}
+
+    # -- hooks (reference callbacks/base.py event names) --
+    def add_callback(self, event: str, fn: Callable):
+        self.callbacks.setdefault(event, []).append(fn)
+
+    def run_callbacks(self, event: str):
+        for fn in self.callbacks.get(event, []):
+            fn(self)
+
+    # -- task plugins override these (reference task_map) --
+    def build_dataset(self, path, mode: str):
+        imgsz = self.args.imgsz
+        return YOLODataset(
+            path,
+            imgsz=imgsz,
+            augment=(mode == "train"),
+            hyp=self.args.to_dict(),
+            fraction=self.args.fraction if mode == "train" else 1.0,
+            single_cls=self.args.single_cls,
+            seed=self.args.seed,
+        )
+
+    def make_loss(self, spec):
+        from ..train.loss import v10_detect_loss
+
+        gains = (self.args.box, self.args.cls, self.args.dfl)
+
+        def loss_fn(preds, batch):
+            return v10_detect_loss(
+                preds, batch, nc=spec.nc, strides=spec.strides, gains=gains,
+                one2many_topk=10,
+            )
+
+        return loss_fn
+
+    def init_params(self, model, spec, variables):
+        """Head bias init (reference bias_init); tasks override."""
+        from ..nn.heads import detect_bias_init
+        import flax
+
+        params = flax.core.unfreeze(variables["params"])
+        head_key = f"model_{spec.head_index}"
+        if head_key in params:
+            params[head_key] = detect_bias_init(params[head_key], spec.nc, spec.strides)
+        return {**variables, "params": params}
+
+    # -- main --
+    def train(self):
+        args = self.args
+        data = load_dataset_yaml(args.data)
+        names = data["names"]
+        nc = data["nc"]
+
+        model, spec = build_model(args.model, nc=nc)
+        self.model, self.spec = model, spec
+
+        imgsz = args.imgsz
+        hw = (imgsz, imgsz) if isinstance(imgsz, int) else (imgsz[1], imgsz[0])
+        x0 = jnp.zeros((1, hw[0], hw[1], 3), jnp.float32)
+        variables = jax.jit(model.init, static_argnames="train")(
+            jax.random.PRNGKey(args.seed), x0, train=False
+        )
+        variables = self.init_params(model, spec, variables)
+
+        root = Path(data.get("path", "."))
+        train_ds = self.build_dataset(root / data["train"], "train")
+        val_ds = self.build_dataset(root / data["val"], "val") if args.val else None
+
+        n_dev = len(jax.devices())
+        batch = args.batch - (args.batch % n_dev) if args.batch >= n_dev else n_dev
+        loader = DataLoader(
+            train_ds, batch, shuffle=True, seed=args.seed, num_threads=args.workers
+        )
+        steps_per_epoch = max(len(loader), 1)
+
+        tx, lr_fn = build_optimizer(
+            variables["params"],
+            name=args.optimizer,
+            lr0=args.lr0,
+            lrf=args.lrf,
+            momentum=args.momentum,
+            weight_decay=args.weight_decay,
+            epochs=args.epochs,
+            steps_per_epoch=steps_per_epoch,
+            warmup_epochs=args.warmup_epochs,
+            cos_lr=args.cos_lr,
+            nbs=args.nbs,
+            batch_size=batch,
+        )
+        step_fn = make_train_step(
+            model, tx, nc=spec.nc, strides=spec.strides,
+            compute_dtype=jnp.bfloat16 if args.amp else jnp.float32,
+            loss_fn=self.make_loss(spec),
+        )
+        state = TrainState.create(variables, tx)
+
+        mesh = get_mesh() if n_dev > 1 else None
+        if mesh is not None:
+            pstep = make_parallel_train_step(step_fn, mesh)
+            state = replicate_state(state, mesh)
+        else:
+            pstep = jax.jit(step_fn, donate_argnums=0)
+
+        validator = DetectionValidator(model, spec, args, names)
+        stopper = EarlyStopping(args.patience)
+        best_fitness = 0.0
+        csv_path = self.save_dir / "results.csv"
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        self.run_callbacks("on_train_start")
+
+        epochs = args.epochs
+        for epoch in range(epochs):
+            if args.close_mosaic and epoch == epochs - args.close_mosaic:
+                train_ds.close_mosaic()
+            self.run_callbacks("on_train_epoch_start")
+            t0 = time.time()
+            agg: Dict[str, float] = {}
+            nb = 0
+            for b in loader:
+                b = {k: jnp.asarray(v) for k, v in b.items()}
+                if mesh is not None:
+                    b = shard_batch(b, mesh)
+                state, metrics = pstep(state, b)
+                nb += 1
+                if nb % 50 == 0 or nb == 1:
+                    for k, v in metrics.items():
+                        agg[k] = float(v)
+            self.state = state
+
+            row = {"epoch": epoch, "time": time.time() - t0, **agg,
+                   "lr": float(lr_fn(state.step))}
+            fitness = 0.0
+            if val_ds is not None and (epoch + 1) % max(args.val_period, 1) == 0:
+                val_loader = DataLoader(
+                    val_ds, batch, shuffle=False, drop_last=False,
+                    num_threads=args.workers,
+                )
+                results = validator(eval_variables(state), val_loader)
+                fitness = results["fitness"]
+                row.update({k: v for k, v in results.items() if np.isscalar(v)})
+            self._write_csv(csv_path, row)
+
+            if args.save:
+                meta = {
+                    "epoch": epoch, "best_fitness": best_fitness,
+                    "model_yaml": str(args.model), "nc": nc,
+                    "names": {int(k): v for k, v in names.items()},
+                    "train_args": {k: v for k, v in args.to_dict().items()
+                                   if isinstance(v, (int, float, str, bool, list, type(None)))},
+                }
+                self.save_ckpt(self.save_dir / "weights" / "last.ckpt", state, meta)
+                if fitness > best_fitness:
+                    best_fitness = fitness
+                    self.save_ckpt(self.save_dir / "weights" / "best.ckpt", state, meta)
+                if args.save_period > 0 and (epoch + 1) % args.save_period == 0:
+                    self.save_ckpt(self.save_dir / "weights" / f"epoch{epoch}.ckpt", state, meta)
+
+            self.run_callbacks("on_train_epoch_end")
+            if stopper(epoch, fitness):
+                break
+        self.run_callbacks("on_train_end")
+        return self.state
+
+    @staticmethod
+    def save_ckpt(path, state: TrainState, meta):
+        host = jax.device_get
+        save_checkpoint(
+            path,
+            params=host(state.params),
+            batch_stats=host(state.batch_stats),
+            ema_params=host(state.ema_params),
+            meta=meta,
+        )
+
+    @staticmethod
+    def _write_csv(path: Path, row: Dict):
+        exists = path.exists()
+        with open(path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(row.keys()))
+            if not exists:
+                w.writeheader()
+            w.writerow(row)

@@ -1,0 +1,56 @@
+"""3D detection trainer (reference: models/yolov10_3D/train.py).
+
+Dispatches the dataset by data-yaml name (KITTI/Waymo/Omni3D, reference
+train.py:20-29), swaps the loss for DetectLoss3d, and applies the 3D head
+bias init."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict
+
+from .trainer import DetectionTrainer
+
+
+class Detection3DTrainer(DetectionTrainer):
+    def build_dataset(self, path, mode: str):
+        name = str(self.args.data).lower()
+        if "kitti" in name:
+            from ..data.kitti import KITTIDataset
+
+            return KITTIDataset(
+                root=path, split="train" if mode == "train" else "val",
+                args=self.args,
+            )
+        if "waymo" in name:
+            from ..data.waymo import WaymoDataset
+
+            return WaymoDataset(root=path, split=mode, args=self.args)
+        if "omni" in name:
+            from ..data.omni3d import Omni3Dataset
+
+            return Omni3Dataset(root=path, split=mode, args=self.args)
+        raise ValueError(f"unknown 3D dataset for {self.args.data!r}")
+
+    def make_loss(self, spec):
+        from ..train.loss3d import detect3d_loss
+
+        hyp = self.args.to_dict()
+
+        def loss_fn(preds, batch):
+            return detect3d_loss(preds, batch, nc=spec.nc, strides=spec.strides, hyp=hyp)
+
+        return loss_fn
+
+    def init_params(self, model, spec, variables):
+        import flax
+
+        from ..nn.heads3d import detect3d_bias_init
+
+        params = flax.core.unfreeze(variables["params"])
+        head_key = f"model_{spec.head_index}"
+        if head_key in params:
+            params[head_key] = detect3d_bias_init(
+                params[head_key], spec.nc, spec.strides
+            )
+        return {**variables, "params": params}

@@ -74,16 +74,24 @@ def v10_postprocess(
     (anchor, class) pairs among those.
     """
     boxes, scores = preds[..., :4], preds[..., 4:]
+    A = preds.shape[1]
+    k1 = min(max_det, A)  # small inputs can have fewer anchors than max_det
     max_scores = scores.max(axis=-1)  # (B, A)
-    _, idx = jax.lax.top_k(max_scores, max_det)  # (B, max_det)
+    _, idx = jax.lax.top_k(max_scores, k1)  # (B, k1)
     boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
-    scores = jnp.take_along_axis(scores, idx[..., None], axis=1)  # (B, max_det, nc)
+    scores = jnp.take_along_axis(scores, idx[..., None], axis=1)  # (B, k1, nc)
 
-    flat = scores.reshape(scores.shape[0], -1)  # (B, max_det*nc)
-    top_scores, flat_idx = jax.lax.top_k(flat, max_det)
+    flat = scores.reshape(scores.shape[0], -1)  # (B, k1*nc)
+    k2 = min(max_det, k1 * nc)
+    top_scores, flat_idx = jax.lax.top_k(flat, k2)
     labels = flat_idx % nc
     anchor_idx = flat_idx // nc
     boxes = jnp.take_along_axis(boxes, anchor_idx[..., None], axis=1)
+    if k2 < max_det:  # pad to the fixed max_det layout
+        pad = max_det - k2
+        boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)), constant_values=-1.0)
+        labels = jnp.pad(labels, ((0, 0), (0, pad)))
     return boxes, top_scores, labels
 
 
@@ -94,16 +102,24 @@ def v10_3d_postprocess(
     regression block R (= 35 for the 13-dof 3D param set) after class scores.
     Returns (reg (B,max_det,R), scores (B,max_det), labels (B,max_det))."""
     scores, reg = preds[..., :nc], preds[..., nc:]
+    A = preds.shape[1]
+    k1 = min(max_det, A)
     max_scores = scores.max(axis=-1)
-    _, idx = jax.lax.top_k(max_scores, max_det)
+    _, idx = jax.lax.top_k(max_scores, k1)
     reg = jnp.take_along_axis(reg, idx[..., None], axis=1)
     scores = jnp.take_along_axis(scores, idx[..., None], axis=1)
 
     flat = scores.reshape(scores.shape[0], -1)
-    top_scores, flat_idx = jax.lax.top_k(flat, max_det)
+    k2 = min(max_det, k1 * nc)
+    top_scores, flat_idx = jax.lax.top_k(flat, k2)
     labels = flat_idx % nc
     anchor_idx = flat_idx // nc
     reg = jnp.take_along_axis(reg, anchor_idx[..., None], axis=1)
+    if k2 < max_det:
+        pad = max_det - k2
+        reg = jnp.pad(reg, ((0, 0), (0, pad), (0, 0)))
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)), constant_values=-1e9)
+        labels = jnp.pad(labels, ((0, 0), (0, pad)))
     return reg, top_scores, labels
 
 

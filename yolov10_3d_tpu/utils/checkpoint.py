@@ -1,0 +1,67 @@
+"""Native checkpoint save/load.
+
+Replaces the reference's pickled-nn.Module .pt files (trainer.py:514-541) with
+a single msgpack file holding pytrees + a JSON metadata header: portable, no
+arbitrary code execution on load. Torch .pt checkpoints remain loadable via
+utils/torch_convert (the weight-converter surface, SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import numpy as np
+from flax import serialization
+
+MAGIC = b"Y10TPU1\n"
+
+
+def save_checkpoint(
+    path,
+    *,
+    params: Any,
+    batch_stats: Any = None,
+    ema_params: Any = None,
+    opt_state: Any = None,
+    meta: Optional[Dict[str, Any]] = None,
+) -> str:
+    """meta holds JSON-serializable config: model yaml dict/name, nc, names,
+    epoch, best_fitness, train_args, date/version."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tree = {
+        "params": params,
+        "batch_stats": batch_stats or {},
+        "ema_params": ema_params or {},
+        "opt_state": opt_state if opt_state is not None else {},
+    }
+    tree = jax_to_numpy(tree)
+    blob = serialization.msgpack_serialize(tree)
+    header = json.dumps(meta or {}).encode()
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(len(header).to_bytes(8, "little"))
+        f.write(header)
+        f.write(blob)
+    return str(path)
+
+
+def load_checkpoint(path) -> Dict[str, Any]:
+    """Returns {params, batch_stats, ema_params, opt_state, meta}."""
+    with open(path, "rb") as f:
+        magic = f.read(len(MAGIC))
+        if magic != MAGIC:
+            raise ValueError(f"{path} is not a yolov10_3d_tpu checkpoint")
+        n = int.from_bytes(f.read(8), "little")
+        meta = json.loads(f.read(n).decode())
+        tree = serialization.msgpack_restore(f.read())
+    tree["meta"] = meta
+    return tree
+
+
+def jax_to_numpy(tree):
+    import jax
+
+    return jax.tree.map(lambda x: np.asarray(x), tree)

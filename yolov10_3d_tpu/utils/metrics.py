@@ -1,0 +1,220 @@
+"""Detection metrics (reference: ultralytics/utils/metrics.py).
+
+Host-side numpy, exactly as the reference accumulates its stats; the device
+side only produces fixed-shape (boxes, scores, labels) per image.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def compute_ap(recall: np.ndarray, precision: np.ndarray):
+    """101-point interpolated AP (reference metrics.py:499 ``compute_ap``)."""
+    mrec = np.concatenate(([0.0], recall, [1.0]))
+    mpre = np.concatenate(([1.0], precision, [0.0]))
+    mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
+    x = np.linspace(0, 1, 101)
+    trapezoid = getattr(np, "trapezoid", np.trapz)
+    ap = trapezoid(np.interp(x, mrec, mpre), x)
+    return ap, mpre, mrec
+
+
+def ap_per_class(
+    tp: np.ndarray,          # (N, T) bool, T IoU thresholds
+    conf: np.ndarray,        # (N,)
+    pred_cls: np.ndarray,    # (N,)
+    target_cls: np.ndarray,  # (M,)
+    eps: float = 1e-16,
+):
+    """Per-class P/R/AP curves (reference metrics.py:532 ``ap_per_class``).
+    Returns dict with tp, fp, p, r, f1, ap (nc, T), unique_classes."""
+    order = np.argsort(-conf)
+    tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
+    unique_classes, nt = np.unique(target_cls, return_counts=True)
+    nc = unique_classes.shape[0]
+
+    x = np.linspace(0, 1, 1000)
+    ap = np.zeros((nc, tp.shape[1]))
+    p_curve = np.zeros((nc, 1000))
+    r_curve = np.zeros((nc, 1000))
+    for ci, c in enumerate(unique_classes):
+        i = pred_cls == c
+        n_l = nt[ci]
+        n_p = int(i.sum())
+        if n_p == 0 or n_l == 0:
+            continue
+        fpc = (1 - tp[i]).cumsum(0)
+        tpc = tp[i].cumsum(0)
+        recall = tpc / (n_l + eps)
+        r_curve[ci] = np.interp(-x, -conf[i], recall[:, 0], left=0)
+        precision = tpc / (tpc + fpc)
+        p_curve[ci] = np.interp(-x, -conf[i], precision[:, 0], left=1)
+        for j in range(tp.shape[1]):
+            ap[ci, j], _, _ = compute_ap(recall[:, j], precision[:, j])
+
+    f1_curve = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
+    i = smooth(f1_curve.mean(0), 0.1).argmax()  # max-F1 confidence index
+    p, r, f1 = p_curve[:, i], r_curve[:, i], f1_curve[:, i]
+    tp_c = (r * nt).round()
+    fp_c = (tp_c / (p + eps) - tp_c).round()
+    return {
+        "tp": tp_c, "fp": fp_c, "p": p, "r": r, "f1": f1, "ap": ap,
+        "unique_classes": unique_classes.astype(int), "nt": nt,
+        "p_curve": p_curve, "r_curve": r_curve, "f1_curve": f1_curve, "x": x,
+    }
+
+
+def smooth(y: np.ndarray, f: float = 0.05) -> np.ndarray:
+    """Box-filter smoothing (reference metrics.py:441)."""
+    nf = round(len(y) * f * 2) // 2 + 1
+    p = np.ones(nf // 2)
+    yp = np.concatenate((p * y[0], y, p * y[-1]), 0)
+    return np.convolve(yp, np.ones(nf) / nf, mode="valid")
+
+
+def match_predictions(
+    pred_classes: np.ndarray,  # (N,)
+    true_classes: np.ndarray,  # (M,)
+    iou: np.ndarray,           # (M, N) pairwise IoU labels x detections
+    iouv: np.ndarray,          # (T,) thresholds
+) -> np.ndarray:
+    """Greedy IoU matching over thresholds (reference validator.py:229).
+    Returns (N, T) bool correct matrix."""
+    correct = np.zeros((pred_classes.shape[0], iouv.shape[0]), bool)
+    correct_class = true_classes[:, None] == pred_classes[None, :]
+    iou = np.where(correct_class, iou, 0.0)
+    for i, threshold in enumerate(iouv):
+        matches = np.nonzero(iou >= threshold)
+        matches = np.array(matches).T
+        if matches.shape[0]:
+            if matches.shape[0] > 1:
+                matches = matches[iou[matches[:, 0], matches[:, 1]].argsort()[::-1]]
+                matches = matches[np.unique(matches[:, 1], return_index=True)[1]]
+                matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
+            correct[matches[:, 1].astype(int), i] = True
+    return correct
+
+
+def box_iou_np(a: np.ndarray, b: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """All-pairs IoU, xyxy, numpy: (M,4),(N,4) -> (M,N)."""
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    inter = np.clip(rb - lt, 0, None).prod(-1)
+    return inter / (area_a[:, None] + area_b[None, :] - inter + eps)
+
+
+class DetMetrics:
+    """mAP accumulation (reference metrics.py:795 ``DetMetrics``).
+
+    update(tp (N,10) bool, conf (N,), pred_cls (N,), target_cls (M,)) per
+    image; results() -> dict incl. mAP50, mAP50-95, mp, mr, fitness."""
+
+    def __init__(self, nc: int = 80, names: Optional[Dict[int, str]] = None):
+        self.nc = nc
+        self.names = names or {}
+        self.iouv = np.linspace(0.5, 0.95, 10)
+        self.reset()
+
+    def reset(self):
+        self._tp: List[np.ndarray] = []
+        self._conf: List[np.ndarray] = []
+        self._pred_cls: List[np.ndarray] = []
+        self._target_cls: List[np.ndarray] = []
+
+    def update(self, tp, conf, pred_cls, target_cls):
+        self._tp.append(np.asarray(tp))
+        self._conf.append(np.asarray(conf))
+        self._pred_cls.append(np.asarray(pred_cls))
+        self._target_cls.append(np.asarray(target_cls))
+
+    def process_batch(self, pred_boxes, pred_scores, pred_cls, gt_boxes, gt_cls):
+        """Convenience: match + update for one image (xyxy numpy)."""
+        if len(pred_boxes) == 0:
+            self.update(
+                np.zeros((0, len(self.iouv)), bool), np.zeros(0), np.zeros(0), gt_cls
+            )
+            return
+        if len(gt_boxes) == 0:
+            self.update(
+                np.zeros((len(pred_boxes), len(self.iouv)), bool),
+                pred_scores, pred_cls, np.zeros(0),
+            )
+            return
+        iou = box_iou_np(np.asarray(gt_boxes), np.asarray(pred_boxes))
+        tp = match_predictions(np.asarray(pred_cls), np.asarray(gt_cls), iou, self.iouv)
+        self.update(tp, pred_scores, pred_cls, gt_cls)
+
+    def results(self) -> Dict[str, float]:
+        if not self._tp:
+            return {"mAP50": 0.0, "mAP50-95": 0.0, "mp": 0.0, "mr": 0.0, "fitness": 0.0}
+        tp = np.concatenate(self._tp)
+        conf = np.concatenate(self._conf)
+        pred_cls = np.concatenate(self._pred_cls)
+        target_cls = np.concatenate(self._target_cls)
+        if tp.shape[0] == 0 or target_cls.shape[0] == 0:
+            return {"mAP50": 0.0, "mAP50-95": 0.0, "mp": 0.0, "mr": 0.0, "fitness": 0.0}
+        res = ap_per_class(tp, conf, pred_cls, target_cls)
+        ap50 = res["ap"][:, 0].mean() if res["ap"].size else 0.0
+        ap = res["ap"].mean() if res["ap"].size else 0.0
+        out = {
+            "mAP50": float(ap50),
+            "mAP50-95": float(ap),
+            "mp": float(res["p"].mean()),
+            "mr": float(res["r"].mean()),
+        }
+        # fitness = 0.1*mAP50 + 0.9*mAP50-95 (reference metrics.py fitness)
+        out["fitness"] = 0.1 * out["mAP50"] + 0.9 * out["mAP50-95"]
+        out["ap_class"] = res["unique_classes"]
+        out["ap50_per_class"] = res["ap"][:, 0]
+        out["ap_per_class"] = res["ap"].mean(1)
+        return out
+
+
+class ConfusionMatrix:
+    """Detection confusion matrix (reference metrics.py:287)."""
+
+    def __init__(self, nc: int, conf: float = 0.25, iou_thres: float = 0.45):
+        self.nc = nc
+        self.conf = conf
+        self.iou_thres = iou_thres
+        self.matrix = np.zeros((nc + 1, nc + 1), int)
+
+    def process_batch(self, pred_boxes, pred_scores, pred_cls, gt_boxes, gt_cls):
+        keep = np.asarray(pred_scores) > self.conf
+        pred_boxes = np.asarray(pred_boxes)[keep]
+        pred_cls = np.asarray(pred_cls)[keep].astype(int)
+        gt_cls = np.asarray(gt_cls).astype(int)
+        if len(gt_cls) == 0:
+            for dc in pred_cls:
+                self.matrix[dc, self.nc] += 1
+            return
+        if len(pred_boxes) == 0:
+            for gc in gt_cls:
+                self.matrix[self.nc, gc] += 1
+            return
+        iou = box_iou_np(np.asarray(gt_boxes), pred_boxes)
+        x = np.nonzero(iou > self.iou_thres)
+        matches = np.array(x).T
+        if matches.shape[0]:
+            m = matches[iou[matches[:, 0], matches[:, 1]].argsort()[::-1]]
+            m = m[np.unique(m[:, 1], return_index=True)[1]]
+            m = m[np.unique(m[:, 0], return_index=True)[1]]
+        else:
+            m = np.zeros((0, 2), int)
+        matched_gt = set()
+        matched_pred = set()
+        for gi, pi in m:
+            self.matrix[pred_cls[pi], gt_cls[gi]] += 1
+            matched_gt.add(gi)
+            matched_pred.add(pi)
+        for gi, gc in enumerate(gt_cls):
+            if gi not in matched_gt:
+                self.matrix[self.nc, gc] += 1
+        for pi, dc in enumerate(pred_cls):
+            if pi not in matched_pred:
+                self.matrix[dc, self.nc] += 1
