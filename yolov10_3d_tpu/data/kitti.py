@@ -86,12 +86,26 @@ class KITTIDataset:
     def get_calib(self, idx: int) -> Calibration:
         return Calibration(self.calib_dir / f"{idx:06d}.txt")
 
-    # -- sample pipeline (reference kitti.py:116-442) --
+    def sample_id(self, item: int) -> int:
+        return int(self.idx_list[item])
+
+    def _object_valid(self, obj, scale: float) -> bool:
+        """KITTI validity filter (kitti.py:240-247); JSON datasets override."""
+        if obj.cls_type not in self.writelist:
+            return False
+        if obj.level_str == "UnKnown" or obj.pos[-1] * scale < self.min_depth_thres:
+            return False
+        if obj.trucation > 0.5 or obj.occlusion > 2:
+            return False
+        return True
+
+    # -- sample pipeline (reference kitti.py:116-442; shared verbatim by the
+    # Waymo/Omni3D JSON datasets which override the raw accessors) --
     def __getitem__(self, item: int) -> Dict[str, np.ndarray]:
         from PIL import Image
 
         rng = self.rng
-        index = int(self.idx_list[item])
+        index = self.sample_id(item)
         img = self.get_image(index)
         img_size = np.array(img.size, np.float64)  # W, H
         center = img_size / 2
@@ -119,7 +133,7 @@ class KITTIDataset:
         if random_mix_flag:
             random_mix_flag = False
             for _ in range(50):  # find a calib-matched partner (kitti.py:160-184)
-                cand = int(self.idx_list[int(rng.integers(len(self.idx_list)))])
+                cand = self.sample_id(int(rng.integers(len(self))))
                 calib_tmp = self.get_calib(cand)
                 if (
                     calib_tmp.cu == calib.cu and calib_tmp.cv == calib.cv
@@ -201,11 +215,7 @@ class KITTIDataset:
 
             limit = min(len(objects), self.max_objs - count)
             for obj in objects[:limit]:
-                if obj.cls_type not in self.writelist:
-                    continue
-                if obj.level_str == "UnKnown" or obj.pos[-1] * scale < self.min_depth_thres:
-                    continue
-                if obj.trucation > 0.5 or obj.occlusion > 2:
+                if not self._object_valid(obj, scale):
                     continue
                 bbox_2d = obj.box2d.copy()
                 bbox_2d[:2] = affine_transform(bbox_2d[:2], trans)

@@ -99,6 +99,49 @@ def get_objects_from_label(label_file) -> List[Object3d]:
     return [Object3d(line, idx) for idx, line in enumerate(lines) if line.strip()]
 
 
+def object_from_dict(d: dict, idx: Optional[int] = None) -> Object3d:
+    """Waymo/Omni3D JSON annotation -> Object3d (reference kitti_utils.py:41-75
+    dict branch)."""
+    obj = Object3d.__new__(Object3d)
+    obj.cls_type = d["category"]
+    obj.line_index = idx
+    obj.score = -1.0
+    if d.get("rotation_y") is not None:  # waymo style
+        obj.trucation = -1.0
+        obj.occlusion = -1.0
+        box = np.asarray(d["bbox"], np.float32)
+        obj.box2d = np.array([box[0], box[1], box[0] + box[2], box[1] + box[3]], np.float32)
+        obj.pos = np.asarray(d["translation"], np.float32)
+        dim = np.asarray(d["dim"], np.float32)  # h, w, l
+        obj.h, obj.w, obj.l = float(dim[0]), float(dim[1]), float(dim[2])
+        obj.ry = float(d["rotation_y"])
+        obj.alpha = 0.0
+        obj.level = obj.get_obj_level()
+        obj.num_lidar = d.get("num_lidar", 1)
+    else:  # omni3d style
+        from scipy.spatial.transform import Rotation
+
+        obj.trucation = -1.0
+        obj.occlusion = -1.0
+        obj.box2d = np.asarray(d["bbox2D_proj"], np.float32)  # xyxy
+        dims = np.asarray(d["dimensions"], np.float32)  # w, h, l
+        obj.w, obj.h, obj.l = float(dims[0]), float(dims[1]), float(dims[2])
+        obj.pos = np.asarray(d["center_cam"], np.float32) + np.array([0, obj.h / 2, 0], np.float32)
+        obj.ry = float(Rotation.from_matrix(np.asarray(d["R_cam"])).as_euler("xyz")[1])
+        obj.alpha = 0.0
+        obj.level_str = "UnKnown"
+        obj.level = 4
+        obj.num_lidar = d.get("lidar_pts", 1)
+        obj.behind_camera = d.get("behind_camera", False)
+        obj.visibility = d.get("visibility", -1)
+        obj.truncation = d.get("truncation", 0.0)
+        obj.segmentation_pts = d.get("segmentation_pts", 0)
+        obj.depth_error = d.get("depth_error", 0.0)
+        obj.valid3D = d.get("valid3D", True)
+    obj.dis_to_cam = float(np.linalg.norm(obj.pos))
+    return obj
+
+
 def parse_calib_file(calib_file) -> Dict[str, np.ndarray]:
     out = {}
     for line in Path(calib_file).read_text().splitlines():

@@ -165,6 +165,37 @@ class Model:
             }
         return state
 
+    def track(self, source, tracker: str = "bytetrack", persist: bool = False, **kwargs):
+        """Frame-stream tracking (reference engine/model.py ``track`` +
+        trackers/track.py callbacks). Returns Results with a track-id column
+        appended to each box row."""
+        import numpy as np
+
+        from ..trackers import BOTSORT, BYTETracker
+
+        if not persist or not hasattr(self, "_tracker"):
+            self._tracker = BOTSORT() if "botsort" in str(tracker) else BYTETracker()
+        results = self.predict(source, **kwargs)
+        for r in results:
+            b = r.boxes
+            if b is None or len(b) == 0:
+                tracks = self._tracker.update(
+                    np.zeros((0, 4)), np.zeros(0), np.zeros(0)
+                )
+            else:
+                tracks = self._tracker.update(b.xyxy, b.conf, b.cls)
+            # re-order result rows to the tracker output: x1y1x2y2, conf, cls, id
+            if len(tracks):
+                data = np.concatenate(
+                    [tracks[:, :4], tracks[:, 5:6], tracks[:, 6:7], tracks[:, 4:5]], -1
+                )
+            else:
+                data = np.zeros((0, 7))
+            from .results import Boxes
+
+            r.boxes = Boxes(data, r.orig_shape)
+        return results
+
     def export(self, **kwargs):
         from .exporter import Exporter
 

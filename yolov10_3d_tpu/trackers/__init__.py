@@ -1,0 +1,2 @@
+from .byte_tracker import BYTETracker  # noqa: F401
+from .bot_sort import BOTSORT  # noqa: F401
