@@ -163,3 +163,38 @@ def test_bbox_ap_parity_with_reference(tmp_path):
 
     ours = eval_from_scratch(str(gt_dir), str(det_dir), ap_mode=40, classes=["car"])
     np.testing.assert_allclose(np.array(ours["bbox@0.70"]), ref_ap, atol=0.3)
+
+
+def test_native_cpp_iou_matches_numpy():
+    """The C++ ctypes kernel (native/kitti_iou.cc) must match the vectorized
+    numpy rotated IoU."""
+    from yolov10_3d_tpu.native import get_lib, rotated_iou, iou_3d
+    from yolov10_3d_tpu.eval.kitti_eval import rotated_intersection_area
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(5)
+    b1 = np.stack(
+        [rng.uniform(-10, 10, 20), rng.uniform(5, 50, 20),
+         rng.uniform(1, 5, 20), rng.uniform(1, 3, 20),
+         rng.uniform(-math.pi, math.pi, 20)], -1,
+    ).astype(np.float32)
+    b2 = (b1 + rng.normal(0, 0.8, b1.shape) * [1, 1, 0.2, 0.2, 0.4]).astype(np.float32)
+    b2[:, 2:4] = np.abs(b2[:, 2:4]) + 0.3
+    native = rotated_iou(b1, b2)
+    inter = rotated_intersection_area(b1.astype(np.float64), b2.astype(np.float64))
+    a1 = (b1[:, 2] * b1[:, 3]).astype(np.float64)[:, None]
+    a2 = (b2[:, 2] * b2[:, 3]).astype(np.float64)[None, :]
+    ref = inter / np.maximum(a1 + a2 - inter, 1e-12)
+    np.testing.assert_allclose(native, ref, atol=2e-4)
+
+    # 3D kernel
+    g = np.concatenate(
+        [b1[:, :1], rng.uniform(1, 2, (20, 1)).astype(np.float32), b1[:, 1:2],
+         b1[:, 2:3], rng.uniform(1, 2, (20, 1)).astype(np.float32), b1[:, 3:4],
+         b1[:, 4:5]], -1,
+    )
+    out3d = iou_3d(g, g)
+    np.testing.assert_allclose(np.diag(out3d), np.ones(20), atol=1e-4)

@@ -185,6 +185,7 @@ class DetectionTrainer:
 
             row = {"epoch": epoch, "time": time.time() - t0, **agg,
                    "lr": float(lr_fn(state.step))}
+            self.last_metrics = row
             fitness = 0.0
             if val_ds is not None and (epoch + 1) % max(args.val_period, 1) == 0:
                 val_loader = DataLoader(

@@ -124,7 +124,14 @@ def rotated_intersection_area(boxes1: np.ndarray, boxes2: np.ndarray) -> np.ndar
 
 
 def bev_iou(boxes1: np.ndarray, boxes2: np.ndarray, criterion: int = -1) -> np.ndarray:
-    """Rotated BEV IoU (reference rotate_iou_gpu_eval). boxes (*, 5)."""
+    """Rotated BEV IoU (reference rotate_iou_gpu_eval). boxes (*, 5).
+    Uses the native C++ kernel when available (native/kitti_iou.cc)."""
+    if len(boxes1) and len(boxes2):
+        from ..native import rotated_iou as native_rotated_iou
+
+        out = native_rotated_iou(boxes1, boxes2, criterion)
+        if out is not None:
+            return out.astype(np.float64)
     inter = rotated_intersection_area(boxes1, boxes2)
     a1 = (boxes1[:, 2] * boxes1[:, 3])[:, None]
     a2 = (boxes2[:, 2] * boxes2[:, 3])[None, :]
@@ -143,6 +150,11 @@ def d3_box_overlap(gt_boxes: np.ndarray, dt_boxes: np.ndarray, criterion: int = 
     N, M = len(gt_boxes), len(dt_boxes)
     if N == 0 or M == 0:
         return np.zeros((N, M))
+    from ..native import iou_3d as native_iou_3d
+
+    out = native_iou_3d(gt_boxes, dt_boxes, criterion)
+    if out is not None:
+        return out.astype(np.float64)
     bev1 = gt_boxes[:, [0, 2, 3, 5, 6]]  # x, z, l, w, ry
     bev2 = dt_boxes[:, [0, 2, 3, 5, 6]]
     inter_bev = rotated_intersection_area(bev1, bev2)

@@ -1,0 +1,212 @@
+"""Plotting / visualization (reference: utils/plotting.py — Annotator:108,
+plot_images:804, plot_results:956, KITTIVisualizer:1226).
+
+matplotlib/cv2 host-side; every function degrades to a no-op warning when the
+backend is unavailable (headless CI).
+"""
+
+from __future__ import annotations
+
+import csv
+import math
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+COLORS = np.array(
+    [
+        [255, 56, 56], [255, 157, 151], [255, 112, 31], [255, 178, 29],
+        [207, 210, 49], [72, 249, 10], [146, 204, 23], [61, 219, 134],
+        [26, 147, 52], [0, 212, 187], [44, 153, 168], [0, 194, 255],
+        [52, 69, 147], [100, 115, 255], [0, 24, 236], [132, 56, 255],
+    ],
+    np.uint8,
+)
+
+
+def color_for(idx: int):
+    c = COLORS[int(idx) % len(COLORS)]
+    return int(c[0]), int(c[1]), int(c[2])
+
+
+class Annotator:
+    """Box/label/line drawing over an RGB ndarray (reference plotting.py:108)."""
+
+    def __init__(self, img: np.ndarray, line_width: Optional[int] = None):
+        import cv2
+
+        self.cv2 = cv2
+        self.img = np.ascontiguousarray(img)
+        self.lw = line_width or max(round(sum(img.shape[:2]) / 2 * 0.003), 2)
+
+    def box_label(self, xyxy, label: str = "", color=(128, 128, 128)):
+        p1 = (int(xyxy[0]), int(xyxy[1]))
+        p2 = (int(xyxy[2]), int(xyxy[3]))
+        self.cv2.rectangle(self.img, p1, p2, color, self.lw)
+        if label:
+            self.cv2.putText(
+                self.img, label, (p1[0], max(p1[1] - 4, 12)),
+                self.cv2.FONT_HERSHEY_SIMPLEX, self.lw / 6, color, max(self.lw - 1, 1),
+            )
+
+    def line(self, p1, p2, color=(128, 128, 128)):
+        self.cv2.line(self.img, (int(p1[0]), int(p1[1])), (int(p2[0]), int(p2[1])), color, self.lw)
+
+    def result(self):
+        return self.img
+
+
+def plot_images(
+    imgs: np.ndarray,          # (B, H, W, 3) [0,1] or uint8
+    gt_bboxes: Optional[np.ndarray] = None,   # (B, M, 4) normalized xywh
+    gt_labels: Optional[np.ndarray] = None,
+    mask_gt: Optional[np.ndarray] = None,
+    fname: str = "batch.jpg",
+    max_imgs: int = 16,
+) -> Optional[str]:
+    """Mosaic grid with GT boxes (reference plotting.py:804 ``plot_images``)."""
+    try:
+        import cv2
+    except ImportError:
+        return None
+    imgs = np.asarray(imgs[:max_imgs])
+    if imgs.dtype != np.uint8:
+        imgs = (imgs * 255).clip(0, 255).astype(np.uint8)
+    B, H, W = imgs.shape[:3]
+    cols = int(math.ceil(math.sqrt(B)))
+    rows = int(math.ceil(B / cols))
+    canvas = np.full((rows * H, cols * W, 3), 255, np.uint8)
+    for i in range(B):
+        r, c = divmod(i, cols)
+        tile = imgs[i].copy()
+        if gt_bboxes is not None:
+            ann = Annotator(tile)
+            m = mask_gt[i] if mask_gt is not None else np.ones(len(gt_bboxes[i]), bool)
+            for j in np.nonzero(m)[0]:
+                cx, cy, bw, bh = gt_bboxes[i][j] * [W, H, W, H]
+                cls = int(gt_labels[i][j]) if gt_labels is not None else 0
+                ann.box_label(
+                    [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2],
+                    str(cls), color_for(cls),
+                )
+            tile = ann.result()
+        canvas[r * H : (r + 1) * H, c * W : (c + 1) * W] = tile
+    Path(fname).parent.mkdir(parents=True, exist_ok=True)
+    cv2.imwrite(str(fname), canvas[..., ::-1])
+    return str(fname)
+
+
+def plot_results(csv_path, fname: Optional[str] = None) -> Optional[str]:
+    """Training-curve plots from results.csv (reference plotting.py:956)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+    rows = list(csv.DictReader(open(csv_path)))
+    if not rows:
+        return None
+    keys = [k for k in rows[0] if k not in ("epoch",) and rows[0][k] not in ("", None)]
+    numeric = {}
+    for k in keys:
+        try:
+            numeric[k] = [float(r[k]) for r in rows if r.get(k)]
+        except (TypeError, ValueError):
+            continue
+    n = len(numeric)
+    if n == 0:
+        return None
+    cols = min(4, n)
+    rws = int(math.ceil(n / cols))
+    fig, axes = plt.subplots(rws, cols, figsize=(4 * cols, 3 * rws), squeeze=False)
+    for ax, (k, v) in zip(axes.ravel(), numeric.items()):
+        ax.plot(v)
+        ax.set_title(k, fontsize=9)
+    for ax in axes.ravel()[n:]:
+        ax.axis("off")
+    fig.tight_layout()
+    fname = fname or str(Path(csv_path).with_name("results.png"))
+    fig.savefig(fname, dpi=120)
+    plt.close(fig)
+    return fname
+
+
+class KITTIVisualizer:
+    """Projected-3D-box and BEV plots (reference plotting.py:1226)."""
+
+    def __init__(self, class_names: Sequence[str] = ("Car", "Pedestrian", "Cyclist")):
+        self.class_names = list(class_names)
+
+    @staticmethod
+    def _corners_cam(loc, dims, ry):
+        h, w, l = dims
+        x = np.array([l / 2, l / 2, -l / 2, -l / 2, l / 2, l / 2, -l / 2, -l / 2])
+        y = np.array([0, 0, 0, 0, -h, -h, -h, -h], float)
+        z = np.array([w / 2, -w / 2, -w / 2, w / 2, w / 2, -w / 2, -w / 2, w / 2])
+        c, s = np.cos(ry), np.sin(ry)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        return (R @ np.vstack([x, y, z])).T + np.asarray(loc)
+
+    def draw_3d_box(self, ann: Annotator, calib, loc, dims, ry, color=(0, 255, 80)):
+        """Project the 8 corners and draw the 12 edges."""
+        corners = self._corners_cam(loc, dims, ry)
+        if (corners[:, 2] <= 0.1).any():
+            return
+        pts, _ = calib.rect_to_img(corners)
+        edges = [
+            (0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7), (7, 4),
+            (0, 4), (1, 5), (2, 6), (3, 7),
+        ]
+        for a, b in edges:
+            ann.line(pts[a], pts[b], color)
+
+    def plot_preds(self, img: np.ndarray, rows: List, calib, fname: str) -> Optional[str]:
+        """rows: KITTI-format prediction rows [cls, alpha, x1..y2, h, w, l,
+        x, y, z, ry, score]."""
+        try:
+            import cv2
+        except ImportError:
+            return None
+        ann = Annotator(img.copy())
+        for r in rows:
+            cls_id = int(r[0])
+            ann.box_label(r[2:6], f"{self.class_names[cls_id]} {r[-1]:.2f}", color_for(cls_id))
+            self.draw_3d_box(ann, calib, r[9:12], r[6:9], r[12], color_for(cls_id))
+        Path(fname).parent.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(fname), ann.result()[..., ::-1])
+        return str(fname)
+
+    def plot_bev(self, rows_pred: List, rows_gt: List, fname: str, extent=50) -> Optional[str]:
+        """Bird's-eye-view footprint plot (reference plot_bev)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return None
+        fig, ax = plt.subplots(figsize=(6, 8))
+        for rows, color in ((rows_gt, "tab:green"), (rows_pred, "tab:red")):
+            for r in rows:
+                x, z = r[9], r[11]
+                h, w, l = r[6:9]
+                ry = r[12]
+                c, s = math.cos(ry), math.sin(ry)
+                dx = np.array([l / 2, l / 2, -l / 2, -l / 2, l / 2])
+                dz = np.array([w / 2, -w / 2, -w / 2, w / 2, w / 2])
+                xs = x + dx * c + dz * s
+                zs = z - dx * s + dz * c
+                ax.plot(xs, zs, color=color, lw=1)
+        ax.set_xlim(-extent, extent)
+        ax.set_ylim(0, extent * 1.6)
+        ax.set_aspect("equal")
+        ax.set_xlabel("x (m)")
+        ax.set_ylabel("z (m)")
+        fig.tight_layout()
+        Path(fname).parent.mkdir(parents=True, exist_ok=True)
+        fig.savefig(fname, dpi=120)
+        plt.close(fig)
+        return str(fname)
