@@ -132,9 +132,13 @@ class Predictor:
         imgsz=None,
         classes: Optional[Sequence[int]] = None,
     ) -> List[Results]:
+        from ..utils.checks import check_imgsz
+
         conf = conf if conf is not None else (self.args.get("conf") or 0.25)
         max_det = max_det or self.args.get("max_det") or (50 if self.task3d else 300)
-        imgsz = imgsz or self.args.get("imgsz") or 640
+        imgsz = check_imgsz(
+            imgsz or self.args.get("imgsz") or 640, stride=max(self.spec.strides)
+        )
         fwd = self._forward_fn(int(max_det))
 
         results = []

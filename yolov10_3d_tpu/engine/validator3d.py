@@ -3,8 +3,9 @@
 Forward -> decode_detect3d -> top-50 NMS-free select -> undo the affine
 augment + backproject via calib -> KITTI txt rows -> official AP40 eval.
 Fitness = 3D AP40 moderate @0.7 (reference kitti.py:444-450).
-Optional o2m depth aggregation (weighted KDE over IoU>0.9 cluster,
-val.py:49-102) is deferred to the use_o2m_depth flag (later round).
+Supports the use_o2m_depth flag: the one-to-many branch's depth predictions
+are aggregated into the one-to-one detections via a weighted Gaussian KDE
+over the IoU>0.9 cluster (reference val.py:78-102 ``aggregate_o2m_preds``).
 """
 
 from __future__ import annotations
@@ -19,7 +20,40 @@ import numpy as np
 
 from ..data.kitti_utils import Calibration
 from ..ops.postprocess import decode_detect3d, v10_3d_postprocess
-from ..utils.metrics import DetMetrics
+from ..utils.metrics import DetMetrics, box_iou_np
+
+
+def aggregate_o2m_depth(
+    predsO: np.ndarray, predsM: np.ndarray, thres: float = 0.1
+) -> np.ndarray:
+    """Refine o2o depths with the o2m cluster (reference val.py:78-102):
+    for each o2o det, gather same-class o2m dets with IoU>0.9, weight their
+    depths by exp(-sigma), fit a weighted Gaussian KDE (Silverman bandwidth)
+    and take the mode over a 500-point grid.
+
+    preds layout per row: bbox(4) c3d(2) s3d(3) hd(24) dep dep_un score label.
+    """
+    from sklearn.neighbors import KernelDensity
+
+    predsO = predsO.copy()
+    for i in range(predsO.shape[0]):
+        iou = box_iou_np(predsO[i, :, :4], predsM[i, :, :4])
+        for j in range(predsO.shape[1]):
+            matches = iou[j] > 0.9
+            depths = np.concatenate([[predsO[i, j, 33]], predsM[i, matches, 33]])
+            uncerts = np.concatenate([[predsO[i, j, 34]], predsM[i, matches, 34]])
+            cls = np.concatenate([[predsO[i, j, 36]], predsM[i, matches, 36]])
+            scores = np.exp(-uncerts)
+            mask = (scores > thres) & (cls == predsO[i, j, 36])
+            if mask.sum() > 1:
+                w = scores[mask]
+                d = depths[mask]
+                kde = KernelDensity(bandwidth="silverman", kernel="gaussian").fit(
+                    d[:, None], sample_weight=w / w.sum()
+                )
+                grid = np.linspace(d.min(), d.max(), 500)[:, None]
+                predsO[i, j, 33] = grid[np.argmax(kde.score_samples(grid)), 0]
+    return predsO
 
 
 class Detection3DValidator:
@@ -30,16 +64,21 @@ class Detection3DValidator:
         self.names = names or {i: str(i) for i in range(spec.nc)}
 
     @functools.lru_cache(maxsize=4)
-    def _forward_fn(self, max_det: int):
+    def _forward_fn(self, max_det: int, with_o2m: bool = False):
         spec = self.spec
 
         @jax.jit
         def fwd(variables, x):
-            feats = self.model.apply(variables, x, train=False)["one2one"]
+            out = self.model.apply(variables, x, train=False)
+            feats = out["one2one"]
             nl = len(feats)
             preds = decode_detect3d(feats, spec.strides[:nl], spec.nc)
             reg, scores, labels = v10_3d_postprocess(preds, max_det, spec.nc)
-            return reg, scores, labels
+            if not with_o2m:
+                return reg, scores, labels
+            predsM = decode_detect3d(out["one2many"], spec.strides[:nl], spec.nc)
+            regM, scoresM, labelsM = v10_3d_postprocess(predsM, max_det * 5, spec.nc)
+            return reg, scores, labels, regM, scoresM, labelsM
 
         return fwd
 
@@ -51,20 +90,32 @@ class Detection3DValidator:
         save_dir: str = "runs/val3d",
         conf_threshold: float = 0.001,
         max_det: int = 50,
+        use_o2m_depth: bool = False,
     ) -> Dict[str, float]:
         """dataset: KITTIDataset (for calib access + decode + eval).
         dataloader yields padded batches with img/calib/img_id/trans_inv."""
-        fwd = self._forward_fn(int(max_det))
+        use_o2m_depth = use_o2m_depth or bool(
+            getattr(self.args, "use_o2m_depth", False)
+        )
+        fwd = self._forward_fn(int(max_det), use_o2m_depth)
         metrics2d = DetMetrics(nc=self.spec.nc, names=self.names)
         all_results: Dict[str, List] = {}
         for batch in dataloader:
             img = jnp.asarray(batch["img"])
-            reg, scores, labels = (np.asarray(o) for o in fwd(variables, img))
+            outs = [np.asarray(o) for o in fwd(variables, img)]
+            reg, scores, labels = outs[:3]
             B = img.shape[0]
             # assemble decode_preds rows: reg(35) + raw score + label
             preds = np.concatenate(
                 [reg, scores[..., None], labels[..., None].astype(np.float32)], -1
             )
+            if use_o2m_depth:
+                regM, scoresM, labelsM = outs[3:]
+                predsM = np.concatenate(
+                    [regM, scoresM[..., None], labelsM[..., None].astype(np.float32)], -1
+                )
+                preds = aggregate_o2m_depth(preds, predsM)
+                reg = preds[..., :35]
             img_ids = np.asarray(batch["img_id"]).reshape(-1)
             calibs = [dataset.get_calib(int(i)) for i in img_ids]
             im_files = [f"{int(i):06d}.txt" for i in img_ids]
