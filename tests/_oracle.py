@@ -21,6 +21,14 @@ def _install_misc_stubs():
 
         nc.Client = Client
         sys.modules["notion_client"] = nc
+    if "thop" not in sys.modules:
+        thop = types.ModuleType("thop")
+
+        def profile(model, inputs=None, verbose=False):
+            return 0.0, 0.0
+
+        thop.profile = profile
+        sys.modules["thop"] = thop
     if "numba" not in sys.modules:
         nb = types.ModuleType("numba")
 
@@ -55,7 +63,18 @@ def _install_torchvision_stub():
     def deform_conv2d(*a, **k):
         raise NotImplementedError("torchvision stub")
 
+    def nms(boxes, scores, iou_threshold):
+        """Greedy NMS (real implementation — the oracle's NMS paths need it)."""
+        import numpy as np
+        import torch
+
+        from yolov10_3d_tpu.ops.nms import nms_numpy
+
+        keep = nms_numpy(boxes.cpu().numpy(), scores.cpu().numpy(), iou_threshold)
+        return torch.from_numpy(np.asarray(keep)).long()
+
     ops.deform_conv2d = deform_conv2d
+    ops.nms = nms
     transforms = types.ModuleType("torchvision.transforms")
     transforms.__path__ = []  # mark as package
     functional = types.ModuleType("torchvision.transforms.functional")

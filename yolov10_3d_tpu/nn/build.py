@@ -22,14 +22,15 @@ from flax import linen as nn
 from . import modules as M
 from . import heads as H
 
-HEAD_MODULES = {"Detect", "v10Detect", "v10Detect3d"}
+HEAD_MODULES = {"Detect", "v10Detect", "v10Detect3d", "Segment", "Pose", "OBB"}
 
 # Modules following the (c1, c2, ...) channel convention (tasks.py:869-899)
 CH_MODULES = {
-    "Conv", "DWConv", "Bottleneck", "SPPF", "C2f", "PSA", "SCDown", "C2fCIB",
+    "Conv", "DWConv", "Bottleneck", "SPPF", "SPP", "C2f", "C2", "C3", "PSA",
+    "SCDown", "C2fCIB", "Focus", "Classify",
 }
 # Modules whose repeat count n is absorbed as an inner arg (tasks.py:910-912)
-REPEAT_MODULES = {"C2f", "C2fCIB", "Bottleneck"}
+REPEAT_MODULES = {"C2f", "C2fCIB", "C2", "C3"}
 
 
 def make_divisible(x: float, divisor: int = 8) -> int:
@@ -119,11 +120,15 @@ def parse_model_yaml(
 
     rows = list(d["backbone"]) + list(d["head"])
     for i, (f, n, mname, args) in enumerate(rows):
-        mname = mname.replace("nn.Upsample", "Upsample")
+        mname = mname.replace("nn.Upsample", "Upsample").replace(
+            "nn.ConvTranspose2d", "ConvTranspose2d"
+        )
         args = list(args)
         for j, a in enumerate(args):
             if isinstance(a, str) and a == "nc":
                 args[j] = d_nc
+            elif isinstance(a, str) and a == "kpt_shape":
+                args[j] = list(d.get("kpt_shape", [17, 3]))
         n = max(round(n * depth), 1) if n > 1 else n
 
         f_first = f if isinstance(f, int) else f[0]
@@ -143,7 +148,14 @@ def parse_model_yaml(
                 s = args[2]
             elif mname == "SCDown":
                 s = args[2]
+            elif mname == "Focus":
+                s = 2
             out_stride = in_stride * s
+        elif mname == "ConvTranspose2d":
+            c1 = ch_list[f]
+            c2 = make_divisible(min(args[0], max_channels) * width, 8)
+            args = [c2, *args[1:]]
+            out_stride = in_stride // (args[2] if len(args) > 2 else 2)
         elif mname == "Upsample":
             c2 = ch_list[f]
             out_stride = in_stride // args[1]
@@ -154,7 +166,20 @@ def parse_model_yaml(
         elif mname in HEAD_MODULES:
             in_ch = tuple(ch_list[x] for x in f)
             head_strides = tuple(stride_list[x] for x in f)
-            args = [d_nc, in_ch]
+            if mname == "Segment":
+                # [nc, nm, npr]: npr width-scaled (tasks.py:931)
+                nm = args[1] if len(args) > 1 else 32
+                npr = args[2] if len(args) > 2 else 256
+                npr = make_divisible(min(npr, max_channels) * width, 8)
+                args = [d_nc, in_ch, nm, npr]
+            elif mname == "Pose":
+                kpt = tuple(args[1]) if len(args) > 1 else (17, 3)
+                args = [d_nc, in_ch, kpt]
+            elif mname == "OBB":
+                ne = args[1] if len(args) > 1 else 1
+                args = [d_nc, in_ch, ne]
+            else:
+                args = [d_nc, in_ch]
             c2 = 0
             out_stride = in_stride
             head_index = i
@@ -180,6 +205,10 @@ def parse_model_yaml(
         stride_list = stride_list if i > 0 else []
         stride_list.append(out_stride)
 
+    if head_index == -1 and layers and layers[-1].module == "Classify":
+        head_index = layers[-1].i
+        head_module = "Classify"
+
     return ModelSpec(
         nc=d_nc,
         layers=tuple(layers),
@@ -196,13 +225,37 @@ def _build_module(spec: LayerSpec, name: str, extras: Dict[str, Any]):
     if spec.module == "Conv":
         k = a[1] if len(a) > 1 else 1
         s = a[2] if len(a) > 2 else 1
-        return M.Conv(a[0], k, s, name=name)
+        p = a[3] if len(a) > 3 else None
+        return M.Conv(a[0], k, s, p, name=name)
+    if spec.module == "Bottleneck":
+        shortcut = a[1] if len(a) > 1 else True
+        return M.Bottleneck(a[0], shortcut, name=name)
     if spec.module == "DWConv":
         return M.DWConv(*a, name=name)
     if spec.module == "C2f":
         c2, n = a[0], a[1]
         shortcut = a[2] if len(a) > 2 else False
         return M.C2f(c2, n, shortcut, name=name)
+    if spec.module == "C3":
+        c2, n = a[0], a[1]
+        shortcut = a[2] if len(a) > 2 else True
+        return M.C3(c2, n, shortcut, name=name)
+    if spec.module == "C2":
+        c2, n = a[0], a[1]
+        shortcut = a[2] if len(a) > 2 else True
+        return M.C2(c2, n, shortcut, name=name)
+    if spec.module == "SPP":
+        return M.SPP(a[0], tuple(a[1]) if len(a) > 1 else (5, 9, 13), name=name)
+    if spec.module == "Focus":
+        return M.Focus(a[0], a[1] if len(a) > 1 else 1, name=name)
+    if spec.module == "Classify":
+        return H.Classify(a[0], name=name)
+    if spec.module == "Segment":
+        return H.Segment(nc=a[0], ch=a[1], nm=a[2], npr=a[3], name=name)
+    if spec.module == "Pose":
+        return H.Pose(nc=a[0], ch=a[1], kpt_shape=tuple(a[2]), name=name)
+    if spec.module == "OBB":
+        return H.OBB(nc=a[0], ch=a[1], ne=a[2], name=name)
     if spec.module == "C2fCIB":
         c2, n = a[0], a[1]
         shortcut = a[2] if len(a) > 2 else False
@@ -216,6 +269,13 @@ def _build_module(spec: LayerSpec, name: str, extras: Dict[str, Any]):
         return M.PSA(a[0], name=name)
     if spec.module == "Upsample":
         return M.Upsample(2, name=name)
+    if spec.module == "ConvTranspose2d":
+        k = a[1] if len(a) > 1 else 2
+        s = a[2] if len(a) > 2 else 2
+        return nn.ConvTranspose(
+            features=a[0], kernel_size=(k, k), strides=(s, s), padding="VALID",
+            use_bias=True, transpose_kernel=True, name=name,
+        )
     if spec.module == "Concat":
         return M.Concat(name=name)
     if spec.module == "Detect":
@@ -241,8 +301,17 @@ class YOLOModel(nn.Module):
     def setup(self):
         extras = dict(self.spec.yaml_extras)
         extras["strides"] = self.spec.strides
+        # n>1 layers are torch nn.Sequential(model.i.0..n-1); flatten to
+        # model_{i}_{j} names for converter parity
         self.layers = [
-            _build_module(s, f"model_{s.i}", extras) for s in self.spec.layers
+            (
+                _build_module(s, f"model_{s.i}", extras)
+                if s.n == 1
+                else [
+                    _build_module(s, f"model_{s.i}_{j}", extras) for j in range(s.n)
+                ]
+            )
+            for s in self.spec.layers
         ]
 
     def __call__(self, x: jax.Array, train: bool = False):
@@ -250,17 +319,22 @@ class YOLOModel(nn.Module):
         saved: Dict[int, jax.Array] = {}
         out = x
         for spec, layer in zip(self.spec.layers, self.layers):
-            if isinstance(spec.f, tuple):
-                inp = [out if j == -1 else saved[j] for j in spec.f]
-            else:
-                inp = out if spec.f == -1 else saved[spec.f]
+            def _lookup(j):
+                if j == -1:
+                    return out
+                return saved[j if j >= 0 else spec.i + j]
 
-            if spec.module == "Concat":
+            if isinstance(spec.f, tuple):
+                inp = [_lookup(j) for j in spec.f]
+            else:
+                inp = _lookup(spec.f)
+
+            if spec.module in ("Concat", "Upsample", "ConvTranspose2d"):
                 out = layer(inp)
-            elif spec.module == "Upsample":
-                out = layer(inp)
-            elif spec.module in HEAD_MODULES:
-                out = layer(inp, train)
+            elif isinstance(layer, (list, tuple)):  # n>1 sequential repeat (flax stores tuples)
+                out = inp
+                for sub in layer:
+                    out = sub(out, train)
             else:
                 out = layer(inp, train)
             if spec.i in self.spec.save:

@@ -114,6 +114,110 @@ class V10Detect(nn.Module):
         return {"one2many": one2many, "one2one": one2one}
 
 
+class Segment(nn.Module):
+    """YOLOv8 segmentation head (reference head.py:112): Detect + mask
+    coefficients (cv4) + prototype masks (proto). Returns dict of raw maps."""
+
+    nc: int
+    ch: Tuple[int, ...]
+    nm: int = 32
+    npr: int = 256
+
+    def setup(self):
+        from .modules import Proto
+
+        c2 = max(16, self.ch[0] // 4, REG_MAX * 4)
+        c3 = max(self.ch[0], min(self.nc, 100))
+        c4 = max(self.ch[0] // 4, self.nm)
+        self.cv2 = [_box_branch(x, c2, REG_MAX) for x in self.ch]
+        self.cv3 = [[Conv(c3, 3), Conv(c3, 3), _conv1x1(self.nc)] for x in self.ch]
+        self.cv4 = [[Conv(c4, 3), Conv(c4, 3), _conv1x1(self.nm)] for x in self.ch]
+        self.proto = Proto(self.npr, self.nm)
+
+    def __call__(self, xs: Sequence[jax.Array], train: bool = False):
+        p = self.proto(xs[0], train)  # (B, 2*H0, 2*W0, nm)
+        det = [
+            jnp.concatenate(
+                [_run_seq(self.cv2[i], x, train), _run_seq(self.cv3[i], x, train)],
+                axis=-1,
+            )
+            for i, x in enumerate(xs)
+        ]
+        mc = [_run_seq(self.cv4[i], x, train) for i, x in enumerate(xs)]
+        return {"det": det, "mask_coefs": mc, "protos": p}
+
+
+class Pose(nn.Module):
+    """YOLOv8 pose head (reference head.py:169): Detect + keypoint branch."""
+
+    nc: int
+    ch: Tuple[int, ...]
+    kpt_shape: Tuple[int, int] = (17, 3)
+
+    def setup(self):
+        self.nk = self.kpt_shape[0] * self.kpt_shape[1]
+        c2 = max(16, self.ch[0] // 4, REG_MAX * 4)
+        c3 = max(self.ch[0], min(self.nc, 100))
+        c4 = max(self.ch[0] // 4, self.nk)
+        self.cv2 = [_box_branch(x, c2, REG_MAX) for x in self.ch]
+        self.cv3 = [[Conv(c3, 3), Conv(c3, 3), _conv1x1(self.nc)] for x in self.ch]
+        self.cv4 = [[Conv(c4, 3), Conv(c4, 3), _conv1x1(self.nk)] for x in self.ch]
+
+    def __call__(self, xs: Sequence[jax.Array], train: bool = False):
+        det = [
+            jnp.concatenate(
+                [_run_seq(self.cv2[i], x, train), _run_seq(self.cv3[i], x, train)],
+                axis=-1,
+            )
+            for i, x in enumerate(xs)
+        ]
+        kpt = [_run_seq(self.cv4[i], x, train) for i, x in enumerate(xs)]
+        return {"det": det, "kpts": kpt}
+
+
+class OBB(nn.Module):
+    """YOLOv8 oriented-box head (reference head.py:138): Detect + angle branch.
+    Angle is returned pre-activation; decode maps sigmoid(a)-0.25 -> [-pi/4,
+    3pi/4) (ops.postprocess.decode_obb)."""
+
+    nc: int
+    ch: Tuple[int, ...]
+    ne: int = 1
+
+    def setup(self):
+        c2 = max(16, self.ch[0] // 4, REG_MAX * 4)
+        c3 = max(self.ch[0], min(self.nc, 100))
+        c4 = max(self.ch[0] // 4, self.ne)
+        self.cv2 = [_box_branch(x, c2, REG_MAX) for x in self.ch]
+        self.cv3 = [[Conv(c3, 3), Conv(c3, 3), _conv1x1(self.nc)] for x in self.ch]
+        self.cv4 = [[Conv(c4, 3), Conv(c4, 3), _conv1x1(self.ne)] for x in self.ch]
+
+    def __call__(self, xs: Sequence[jax.Array], train: bool = False):
+        det = [
+            jnp.concatenate(
+                [_run_seq(self.cv2[i], x, train), _run_seq(self.cv3[i], x, train)],
+                axis=-1,
+            )
+            for i, x in enumerate(xs)
+        ]
+        angle = [_run_seq(self.cv4[i], x, train) for i, x in enumerate(xs)]
+        return {"det": det, "angle": angle}
+
+
+class Classify(nn.Module):
+    """YOLOv8 classification head (reference head.py:210): Conv -> GAP ->
+    Linear. Returns logits (softmax applied by the task postprocess)."""
+
+    c2: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = 1280
+        x = Conv(c_, 1, 1, name="conv")(x, train)
+        x = x.mean(axis=(1, 2))  # AdaptiveAvgPool2d(1)
+        return nn.Dense(self.c2, name="linear")(x)
+
+
 def detect_bias_init(params: dict, nc: int, strides: Sequence[int]) -> dict:
     """Apply the reference's head bias init (head.py:98-105, 537-543):
     box branch final bias = 1.0, cls branch final bias = log(5/nc/(640/s)^2).

@@ -174,6 +174,116 @@ class C2f(nn.Module):
         return self.cv2(jnp.concatenate(y, axis=-1), train)
 
 
+class C2(nn.Module):
+    """CSP bottleneck with 2 convs (reference block.py:190)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    def setup(self):
+        self.c = int(self.c2 * self.e)
+        self.cv1 = Conv(2 * self.c, 1, 1)
+        self.cv2 = Conv(self.c2, 1)
+        self.m = [
+            Bottleneck(self.c, self.shortcut, self.g, k=(3, 3), e=1.0)
+            for _ in range(self.n)
+        ]
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        a, b = jnp.split(self.cv1(x, train), 2, axis=-1)
+        for m in self.m:
+            a = m(a, train)
+        return self.cv2(jnp.concatenate([a, b], axis=-1), train)
+
+
+class C3(nn.Module):
+    """CSP bottleneck with 3 convs (reference block.py:245) — v5-family."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    def setup(self):
+        c_ = int(self.c2 * self.e)
+        self.cv1 = Conv(c_, 1, 1)
+        self.cv2 = Conv(c_, 1, 1)
+        self.cv3 = Conv(self.c2, 1)
+        self.m = [
+            Bottleneck(c_, self.shortcut, self.g, k=(1, 3), e=1.0)
+            for _ in range(self.n)
+        ]
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        y = self.cv1(x, train)
+        for m in self.m:
+            y = m(y, train)
+        return self.cv3(jnp.concatenate([y, self.cv2(x, train)], axis=-1), train)
+
+
+class SPP(nn.Module):
+    """Spatial pyramid pooling (reference block.py:139)."""
+
+    c2: int
+    k: Tuple[int, ...] = (5, 9, 13)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = x.shape[-1] // 2
+        x = Conv(c_, 1, 1, name="cv1")(x, train)
+        pools = [
+            nn.max_pool(x, (k, k), strides=(1, 1), padding=[(k // 2, k // 2)] * 2)
+            for k in self.k
+        ]
+        return Conv(self.c2, 1, 1, name="cv2")(
+            jnp.concatenate([x] + pools, axis=-1), train
+        )
+
+
+class Proto(nn.Module):
+    """Mask prototype head for segmentation (reference block.py:67)."""
+
+    c_: int = 256
+    c2: int = 32
+
+    def setup(self):
+        self.cv1 = Conv(self.c_, 3)
+        # transpose_kernel=True matches torch ConvTranspose2d semantics and the
+        # (in,out,kH,kW)->(kH,kW,out,in) layout our weight converter produces
+        self.upsample = nn.ConvTranspose(
+            features=self.c_, kernel_size=(2, 2), strides=(2, 2), padding="VALID",
+            use_bias=True, transpose_kernel=True,
+        )
+        self.cv2 = Conv(self.c_, 3)
+        self.cv3 = Conv(self.c2, 1)
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = self.cv1(x, train)
+        x = self.upsample(x)
+        x = self.cv2(x, train)
+        return self.cv3(x, train)
+
+
+class Focus(nn.Module):
+    """Space-to-depth stem (reference conv.py:192) — v5-family."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = jnp.concatenate(
+            [x[:, ::2, ::2], x[:, 1::2, ::2], x[:, ::2, 1::2], x[:, 1::2, 1::2]],
+            axis=-1,
+        )
+        return Conv(self.c2, self.k, self.s, name="conv")(x, train)
+
+
 class SPPF(nn.Module):
     """Spatial pyramid pooling - fast (reference block.py:158)."""
 

@@ -125,6 +125,43 @@ def box_iou_pairwise(boxes1: jax.Array, boxes2: jax.Array, eps: float = 1e-7) ->
     return inter / (area1[:, None] + area2[None, :] - inter + eps)
 
 
+def _obb_covariance(obb: jax.Array):
+    """(…, 5) = (x, y, w, h, r) -> covariance terms a, b, c (reference
+    metrics.py:177 ``_get_covariance_matrix``)."""
+    w, h, r = obb[..., 2], obb[..., 3], obb[..., 4]
+    a = w**2 / 12
+    b = h**2 / 12
+    cos, sin = jnp.cos(r), jnp.sin(r)
+    return (
+        a * cos**2 + b * sin**2,
+        a * sin**2 + b * cos**2,
+        (a - b) * cos * sin,
+    )
+
+
+def probiou(obb1: jax.Array, obb2: jax.Array, eps: float = 1e-7) -> jax.Array:
+    """Gaussian-distribution IoU for rotated boxes (reference metrics.py:198).
+    Elementwise over broadcastable (…, 5) inputs; returns (…,)."""
+    x1, y1 = obb1[..., 0], obb1[..., 1]
+    x2, y2 = obb2[..., 0], obb2[..., 1]
+    a1, b1, c1 = _obb_covariance(obb1)
+    a2, b2, c2 = _obb_covariance(obb2)
+    t1 = ((a1 + a2) * (y1 - y2) ** 2 + (b1 + b2) * (x1 - x2) ** 2) / (
+        (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2 + eps
+    ) * 0.25
+    t2 = ((c1 + c2) * (x2 - x1) * (y1 - y2)) / (
+        (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2 + eps
+    ) * 0.5
+    t3 = jnp.log(
+        ((a1 + a2) * (b1 + b2) - (c1 + c2) ** 2)
+        / (4 * jnp.sqrt(jnp.clip(a1 * b1 - c1**2, 0) * jnp.clip(a2 * b2 - c2**2, 0)) + eps)
+        + eps
+    ) * 0.5
+    bd = jnp.clip(t1 + t2 + t3, eps, 100.0)
+    hd = jnp.sqrt(1.0 - jnp.exp(-bd) + eps)
+    return 1 - hd
+
+
 def clip_boxes(boxes: jax.Array, h: int, w: int) -> jax.Array:
     x1 = jnp.clip(boxes[..., 0], 0, w)
     y1 = jnp.clip(boxes[..., 1], 0, h)

@@ -123,6 +123,83 @@ def v10_3d_postprocess(
     return reg, top_scores, labels
 
 
+def v8_detections(
+    feats: Sequence[jax.Array],
+    strides: Sequence[int],
+    nc: int,
+    conf: float = 0.25,
+    iou: float = 0.7,
+    max_det: int = 300,
+) -> Dict[str, jax.Array]:
+    """v8-family eval epilogue: decode + NMS (reference yolo/detect path).
+    Returns dict(boxes xyxy, scores, labels, valid) fixed shapes."""
+    from .nms import non_max_suppression
+
+    preds = decode_detect(feats, strides, nc)  # xyxy + sigmoid scores
+    # NMS expects xywh; convert back for the shared entrypoint signature
+    from .boxes import xyxy2xywh
+
+    preds = jnp.concatenate([xyxy2xywh(preds[..., :4]), preds[..., 4:]], -1)
+    boxes, scores, labels, valid = non_max_suppression(
+        preds, conf_thres=conf, iou_thres=iou, max_det=max_det
+    )
+    return {"boxes": boxes, "scores": scores, "labels": labels, "valid": valid}
+
+
+def decode_kpts(
+    kpt_feats: Sequence[jax.Array],
+    strides: Sequence[int],
+    kpt_shape=(17, 3),
+) -> jax.Array:
+    """Raw keypoint maps -> (B, A, nk*nd) decoded image-pixel keypoints
+    (reference head.py:193 ``Pose.kpts_decode``): xy = (raw*2 + anchor-0.5) *
+    stride, visibility sigmoid."""
+    x, shapes = flatten_feats(kpt_feats)
+    x = x.astype(jnp.float32)
+    anchor_points, stride_tensor = make_anchors(shapes, strides, 0.5)
+    nk, nd = kpt_shape
+    y = x.reshape(x.shape[0], x.shape[1], nk, nd)
+    xy = (y[..., :2] * 2.0 + (anchor_points[None, :, None, :] - 0.5)) * stride_tensor[None, :, None, :]
+    if nd == 3:
+        v = jax.nn.sigmoid(y[..., 2:3])
+        out = jnp.concatenate([xy, v], -1)
+    else:
+        out = xy
+    return out.reshape(x.shape[0], x.shape[1], nk * nd)
+
+
+def decode_obb_angle(angle_feats: Sequence[jax.Array]) -> jax.Array:
+    """Raw angle maps -> (B, A, ne) angles in [-pi/4, 3pi/4) (head.py:152)."""
+    import math
+
+    x, _ = flatten_feats(angle_feats)
+    return (jax.nn.sigmoid(x.astype(jnp.float32)) - 0.25) * math.pi
+
+
+def process_masks(
+    protos: jax.Array,       # (B, Hm, Wm, nm)
+    mask_coefs: jax.Array,   # (B, K, nm) per selected detection
+    boxes: jax.Array,        # (B, K, 4) xyxy in model-input pixels
+    input_hw,
+) -> jax.Array:
+    """Detection masks = sigmoid(coefs @ protos) cropped to boxes (reference
+    ops.py:631 ``process_mask``). Returns (B, K, Hm, Wm) in proto resolution."""
+    B, Hm, Wm, nm = protos.shape
+    masks = jnp.einsum("bkn,bhwn->bkhw", mask_coefs.astype(jnp.float32), protos.astype(jnp.float32))
+    masks = jax.nn.sigmoid(masks)
+    # crop to (downscaled) boxes
+    sy = Hm / input_hw[0]
+    sx = Wm / input_hw[1]
+    x1 = boxes[..., 0, None, None] * sx  # (B, K, 1, 1)
+    y1 = boxes[..., 1, None, None] * sy
+    x2 = boxes[..., 2, None, None] * sx
+    y2 = boxes[..., 3, None, None] * sy
+    cols = jnp.arange(Wm)[None, None, None, :]
+    rows = jnp.arange(Hm)[None, None, :, None]
+    crop = ((cols >= x1) & (cols < x2) & (rows >= y1) & (rows < y2)).astype(masks.dtype)
+    return masks * crop
+
+
 def v10_detections(
     feats: Sequence[jax.Array],
     strides: Sequence[int],
