@@ -22,15 +22,16 @@ from flax import linen as nn
 from . import modules as M
 from . import heads as H
 
-HEAD_MODULES = {"Detect", "v10Detect", "v10Detect3d", "Segment", "Pose", "OBB"}
+HEAD_MODULES = {"Detect", "v10Detect", "v10Detect3d", "Segment", "Pose", "OBB",
+                "RTDETRDecoder"}
 
 # Modules following the (c1, c2, ...) channel convention (tasks.py:869-899)
 CH_MODULES = {
     "Conv", "DWConv", "Bottleneck", "SPPF", "SPP", "C2f", "C2", "C3", "PSA",
-    "SCDown", "C2fCIB", "Focus", "Classify",
+    "SCDown", "C2fCIB", "Focus", "Classify", "RepC3",
 }
 # Modules whose repeat count n is absorbed as an inner arg (tasks.py:910-912)
-REPEAT_MODULES = {"C2f", "C2fCIB", "C2", "C3"}
+REPEAT_MODULES = {"C2f", "C2fCIB", "C2", "C3", "RepC3"}
 
 
 def make_divisible(x: float, divisor: int = 8) -> int:
@@ -129,6 +130,13 @@ def parse_model_yaml(
                 args[j] = d_nc
             elif isinstance(a, str) and a == "kpt_shape":
                 args[j] = list(d.get("kpt_shape", [17, 3]))
+            elif isinstance(a, str):
+                # yaml 'None'/'True'/'False' arrive as strings (tasks.py:864)
+                import ast
+                import contextlib
+
+                with contextlib.suppress(ValueError, SyntaxError):
+                    args[j] = ast.literal_eval(a)
         n = max(round(n * depth), 1) if n > 1 else n
 
         f_first = f if isinstance(f, int) else f[0]
@@ -151,6 +159,19 @@ def parse_model_yaml(
             elif mname == "Focus":
                 s = 2
             out_stride = in_stride * s
+        elif mname in ("HGStem", "HGBlock"):
+            # tasks.py:919-923: c1, cm, c2 = ch[f], args[0], args[1] (unscaled)
+            c1 = ch_list[f]
+            cm, c2 = args[0], args[1]
+            args = [cm, c2, *args[2:]]
+            if mname == "HGBlock":
+                args.insert(3, n)  # -> [cm, c2, k, n, light, shortcut]
+                n = 1
+            out_stride = in_stride * (4 if mname == "HGStem" else 1)
+        elif mname == "AIFI":
+            c2 = ch_list[f]
+            args = [c2, *args]
+            out_stride = in_stride
         elif mname == "ConvTranspose2d":
             c1 = ch_list[f]
             c2 = make_divisible(min(args[0], max_channels) * width, 8)
@@ -226,12 +247,37 @@ def _build_module(spec: LayerSpec, name: str, extras: Dict[str, Any]):
         k = a[1] if len(a) > 1 else 1
         s = a[2] if len(a) > 2 else 1
         p = a[3] if len(a) > 3 else None
-        return M.Conv(a[0], k, s, p, name=name)
+        g = a[4] if len(a) > 4 else 1
+        d = a[5] if len(a) > 5 else 1
+        act = a[6] if len(a) > 6 else True
+        return M.Conv(a[0], k, s, p, g, d, act, name=name)
     if spec.module == "Bottleneck":
         shortcut = a[1] if len(a) > 1 else True
         return M.Bottleneck(a[0], shortcut, name=name)
     if spec.module == "DWConv":
-        return M.DWConv(*a, name=name)
+        k = a[1] if len(a) > 1 else 1
+        s = a[2] if len(a) > 2 else 1
+        act = a[4] if len(a) > 4 else True
+        return M.DWConv(a[0], k, s, act, name=name)
+    if spec.module == "HGStem":
+        return M.HGStem(a[0], a[1], name=name)
+    if spec.module == "HGBlock":
+        k = a[2] if len(a) > 2 else 3
+        nrep = a[3] if len(a) > 3 else 6
+        light = a[4] if len(a) > 4 else False
+        shortcut = a[5] if len(a) > 5 else False
+        return M.HGBlock(a[0], a[1], k, nrep, light, shortcut, name=name)
+    if spec.module == "RepC3":
+        return M.RepC3(a[0], a[1] if len(a) > 1 else 3, name=name)
+    if spec.module == "AIFI":
+        from .transformer import AIFI
+
+        return AIFI(a[0], a[1] if len(a) > 1 else 2048,
+                    a[2] if len(a) > 2 else 8, name=name)
+    if spec.module == "RTDETRDecoder":
+        from .rtdetr_head import RTDETRDecoder
+
+        return RTDETRDecoder(nc=a[0], ch=a[1], name=name)
     if spec.module == "C2f":
         c2, n = a[0], a[1]
         shortcut = a[2] if len(a) > 2 else False

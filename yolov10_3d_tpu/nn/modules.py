@@ -46,7 +46,7 @@ class Conv(nn.Module):
     p: Optional[int] = None
     g: int = 1
     d: int = 1
-    act: bool = True
+    act: Any = True  # True=SiLU, False=identity, or "relu"/"gelu"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -69,7 +69,17 @@ class Conv(nn.Module):
             dtype=x.dtype,
             name="bn",
         )(x)
-        return nn.silu(x) if self.act else x
+        return apply_act(x, self.act)
+
+
+def apply_act(x: jax.Array, act) -> jax.Array:
+    if act is True:
+        return nn.silu(x)
+    if act == "relu":
+        return nn.relu(x)
+    if act == "gelu":
+        return nn.gelu(x)
+    return x
 
 
 class Conv2d(nn.Module):
@@ -97,12 +107,12 @@ class Conv2d(nn.Module):
 
 
 class DWConv(nn.Module):
-    """Depthwise Conv+BN+SiLU (reference conv.py:170)."""
+    """Depthwise Conv+BN+act (reference conv.py:170)."""
 
     c2: int
     k: int = 1
     s: int = 1
-    act: bool = True
+    act: Any = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -127,7 +137,7 @@ class DWConv(nn.Module):
             dtype=x.dtype,
             name="bn",
         )(x)
-        return nn.silu(x) if self.act else x
+        return apply_act(x, self.act)
 
 
 class Bottleneck(nn.Module):
@@ -456,6 +466,116 @@ class Upsample(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         x = jnp.repeat(x, self.scale, axis=1)
         return jnp.repeat(x, self.scale, axis=2)
+
+
+class LightConv(nn.Module):
+    """1x1 conv + depthwise conv (reference conv.py:154) — HGNetV2 block."""
+
+    c2: int
+    k: int = 1
+    act: Any = "relu"
+
+    def setup(self):
+        self.conv1 = Conv(self.c2, 1, act=False)
+        self.conv2 = Conv(self.c2, self.k, g=self.c2, act=self.act)
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        return self.conv2(self.conv1(x, train), train)
+
+
+class RepConv(nn.Module):
+    """RepVGG-style 3x3 + 1x1 parallel convs (reference conv.py:246)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    act: Any = True
+
+    def setup(self):
+        self.conv1 = Conv(self.c2, self.k, self.s, p=1, act=False)
+        self.conv2 = Conv(self.c2, 1, self.s, p=0, act=False)
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        return apply_act(self.conv1(x, train) + self.conv2(x, train), self.act)
+
+
+class RepC3(nn.Module):
+    """RT-DETR neck CSP block over RepConvs (reference block.py:269)."""
+
+    c2: int
+    n: int = 3
+    e: float = 1.0
+
+    def setup(self):
+        c_ = int(self.c2 * self.e)
+        self.cv1 = Conv(self.c2, 1, 1)
+        self.cv2 = Conv(self.c2, 1, 1)
+        self.m = [RepConv(c_) for _ in range(self.n)]
+        self._project = c_ != self.c2
+        if self._project:
+            self.cv3 = Conv(self.c2, 1, 1)
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        y = self.cv1(x, train)
+        for m in self.m:
+            y = m(y, train)
+        y = y + self.cv2(x, train)
+        return self.cv3(y, train) if self._project else y
+
+
+class HGStem(nn.Module):
+    """PPHGNetV2 stem (reference block.py:88): 5 convs + maxpool."""
+
+    cm: int
+    c2: int
+
+    def setup(self):
+        self.stem1 = Conv(self.cm, 3, 2, act="relu")
+        self.stem2a = Conv(self.cm // 2, 2, 1, p=0, act="relu")
+        self.stem2b = Conv(self.cm, 2, 1, p=0, act="relu")
+        self.stem3 = Conv(self.cm, 3, 2, act="relu")
+        self.stem4 = Conv(self.c2, 1, 1, act="relu")
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = self.stem1(x, train)
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = self.stem2a(x, train)
+        x2 = jnp.pad(x2, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = self.stem2b(x2, train)
+        # torch MaxPool2d(k=2, s=1, ceil_mode=True) on the padded map
+        x1 = nn.max_pool(x, (2, 2), strides=(1, 1), padding=[(0, 1), (0, 1)])
+        x1 = x1[:, : x2.shape[1], : x2.shape[2]]
+        x = jnp.concatenate([x1, x2], axis=-1)
+        x = self.stem3(x, train)
+        return self.stem4(x, train)
+
+
+class HGBlock(nn.Module):
+    """PPHGNetV2 block (reference block.py:118): n Light/standard convs +
+    squeeze/excitation 1x1s."""
+
+    cm: int
+    c2: int
+    k: int = 3
+    n: int = 6
+    lightconv: bool = False
+    shortcut: bool = False
+
+    def setup(self):
+        block = LightConv if self.lightconv else Conv
+        if self.lightconv:
+            self.m = [LightConv(self.cm, self.k, act="relu") for _ in range(self.n)]
+        else:
+            self.m = [Conv(self.cm, self.k, act="relu") for _ in range(self.n)]
+        self.sc = Conv(self.c2 // 2, 1, 1, act="relu")
+        self.ec = Conv(self.c2, 1, 1, act="relu")
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        y = [x]
+        for m in self.m:
+            y.append(m(y[-1], train))
+        out = self.ec(self.sc(jnp.concatenate(y, axis=-1), train), train)
+        return out + x if (self.shortcut and x.shape[-1] == self.c2) else out
 
 
 def dfl_decode(box_logits: jax.Array, reg_max: int = 16) -> jax.Array:
