@@ -1,0 +1,82 @@
+"""FastSAM prompts, Instances containers, COCO converter, headless app."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+def test_fastsam_prompts():
+    from yolov10_3d_tpu.models.fastsam import FastSAMPrompt
+
+    masks = np.zeros((3, 40, 40), bool)
+    masks[0, 5:15, 5:15] = True     # small square top-left
+    masks[1, 20:38, 20:38] = True   # big square bottom-right
+    masks[2, 0:40, 0:3] = True      # left strip
+    p = FastSAMPrompt(masks)
+    assert p.box_prompt([4, 4, 16, 16])[0] == 0
+    assert p.box_prompt([18, 18, 40, 40])[0] == 1
+    pm = p.point_prompt([(25, 25)], [1])
+    assert pm[25, 25] and not pm[6, 6]
+    pm2 = p.point_prompt([(25, 25), (6, 6)], [1, 0])
+    assert pm2[25, 25]
+    assert len(p.everything_prompt()) == 3
+    with pytest.raises(RuntimeError):
+        p.text_prompt("a dog")
+
+
+def test_instances_roundtrip():
+    from yolov10_3d_tpu.utils.instance import Instances
+
+    inst = Instances(
+        np.array([[0.5, 0.5, 0.2, 0.4]]), bbox_format="xywh", normalized=True
+    )
+    inst.denormalize(100, 200)
+    inst.convert_bbox("xyxy")
+    np.testing.assert_allclose(inst.bboxes[0], [40, 60, 60, 140])
+    inst.fliplr(100)
+    np.testing.assert_allclose(inst.bboxes[0], [40, 60, 60, 140])  # centered box
+    inst.add_padding(10, 20)
+    np.testing.assert_allclose(inst.bboxes[0], [50, 80, 70, 160])
+    inst.clip(60, 150)
+    np.testing.assert_allclose(inst.bboxes[0], [50, 80, 60, 150])
+    assert inst.remove_zero_area_boxes().all()
+
+
+def test_coco_converter(tmp_path):
+    from yolov10_3d_tpu.data.converter import coco91_to_coco80_class, convert_coco
+
+    m = coco91_to_coco80_class()
+    assert m[0] == 0 and m[11] is None and sum(v is not None for v in m) == 80
+
+    data = {
+        "images": [{"id": 1, "file_name": "img1.jpg", "width": 100, "height": 50}],
+        "annotations": [
+            {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "iscrowd": 0},
+            {"image_id": 1, "category_id": 12, "bbox": [0, 0, 10, 10], "iscrowd": 0},
+        ],
+    }
+    j = tmp_path / "instances.json"
+    j.write_text(json.dumps(data))
+    out = convert_coco(str(j), save_dir=str(tmp_path / "conv"))
+    lines = (tmp_path / "conv/labels/img1.txt").read_text().strip().splitlines()
+    assert len(lines) == 1  # category 12 (0-based 11) is a skipped 91->80 id
+    vals = lines[0].split()
+    assert vals[0] == "0"
+    np.testing.assert_allclose(
+        [float(v) for v in vals[1:]], [0.2, 0.4, 0.2, 0.4], atol=1e-5
+    )
+
+
+def test_headless_app(tmp_path):
+    pytest.importorskip("cv2")
+    from yolov10_3d_tpu.app import annotate_file
+
+    out = annotate_file(
+        "yolov10n.yaml",
+        "/root/reference/ultralytics/assets/bus.jpg",
+        out_path=str(tmp_path / "ann.jpg"),
+        imgsz=64,
+        conf=0.9,
+    )
+    assert (tmp_path / "ann.jpg").exists()

@@ -1,0 +1,86 @@
+"""FastSAM prompt-based segmentation postprocess (reference:
+models/fastsam/prompt.py ``FastSAMPrompt``).
+
+Operates on the segmentation head's everything-results (masks from a
+YOLOv8-seg/FastSAM model): box-prompt selects the mask with max IoU against
+the box, point-prompt selects masks containing the positive points. The CLIP
+text prompt requires an external text encoder (unavailable offline) and is
+exposed as a pluggable ``retrieve_fn``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+
+class FastSAMPrompt:
+    def __init__(self, masks: np.ndarray, boxes: Optional[np.ndarray] = None):
+        """masks: (N, H, W) binary instance masks ('everything' results);
+        boxes: optional (N, 4) xyxy of the same instances."""
+        self.masks = np.asarray(masks).astype(bool)
+        self.boxes = boxes
+
+    @staticmethod
+    def _bbox_from_mask(mask: np.ndarray) -> List[float]:
+        ys, xs = np.nonzero(mask)
+        if len(xs) == 0:
+            return [0.0, 0.0, 0.0, 0.0]
+        return [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+
+    def box_prompt(self, bbox: Sequence[float]) -> np.ndarray:
+        """Select the mask best matching a user box (prompt.py:284): max
+        IoU between mask area inside the box and union."""
+        if self.masks.size == 0:
+            return np.zeros((0,), int)
+        h, w = self.masks.shape[1:]
+        x1, y1, x2, y2 = (
+            int(max(round(bbox[0]), 0)), int(max(round(bbox[1]), 0)),
+            int(min(round(bbox[2]), w)), int(min(round(bbox[3]), h)),
+        )
+        box_area = max((x2 - x1) * (y2 - y1), 1)
+        masks_area = self.masks[:, y1:y2, x1:x2].sum(axis=(1, 2))
+        full_area = self.masks.sum(axis=(1, 2))
+        union = box_area + full_area - masks_area
+        iou = masks_area / np.maximum(union, 1)
+        return np.array([int(np.argmax(iou))])
+
+    def point_prompt(self, points: Sequence[Sequence[float]], pointlabel: Sequence[int]) -> np.ndarray:
+        """Merge masks hit by positive points, minus negative points
+        (prompt.py:319). Returns the combined (H, W) mask."""
+        if self.masks.size == 0:
+            return np.zeros((0, 0), bool)
+        h, w = self.masks.shape[1:]
+        onemask = np.zeros((h, w), bool)
+        # smaller masks take precedence (reference sorts by area descending and
+        # lets later (smaller) masks overwrite)
+        order = np.argsort(-self.masks.sum(axis=(1, 2)))
+        for i in order:
+            mask = self.masks[i]
+            for (px, py), label in zip(points, pointlabel):
+                xi, yi = int(px), int(py)
+                if 0 <= yi < h and 0 <= xi < w and mask[yi, xi]:
+                    if label == 1:
+                        onemask |= mask
+                    else:
+                        onemask &= ~mask
+        return onemask
+
+    def text_prompt(self, text: str, retrieve_fn: Optional[Callable] = None) -> np.ndarray:
+        """CLIP-scored mask selection (prompt.py:334). retrieve_fn(crops,
+        text) -> scores; required because no CLIP weights ship offline."""
+        if retrieve_fn is None:
+            raise RuntimeError(
+                "text_prompt needs a retrieve_fn(crops, text) -> scores "
+                "(a CLIP-style scorer); none is bundled in this offline build"
+            )
+        crops = []
+        for mask in self.masks:
+            x1, y1, x2, y2 = (int(v) for v in self._bbox_from_mask(mask))
+            crops.append((mask[y1:y2, x1:x2], (x1, y1, x2, y2)))
+        scores = np.asarray(retrieve_fn(crops, text))
+        return np.array([int(np.argmax(scores))])
+
+    def everything_prompt(self) -> np.ndarray:
+        return np.arange(len(self.masks))
