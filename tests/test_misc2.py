@@ -80,3 +80,43 @@ def test_headless_app(tmp_path):
         conf=0.9,
     )
     assert (tmp_path / "ann.jpg").exists()
+
+
+def test_raycasting():
+    from yolov10_3d_tpu.data.raycasting import (
+        box_visibility, project_to_image, ray_box_intersection,
+    )
+
+    P2 = np.array([[700.0, 0, 600, 0], [0, 700.0, 180, 0], [0, 0, 1, 0]])
+    pts = np.array([[0.0, 0.0, 10.0], [1.0, 0.5, 20.0]])
+    uv, depth = project_to_image(pts, P2[None], return_depth=True)
+    np.testing.assert_allclose(uv[0], [600, 180])
+    np.testing.assert_allclose(depth, [10, 20])
+
+    hit, tmin = ray_box_intersection(
+        np.zeros(3), np.array([[0, 0, 1.0], [1, 0, 0.0]]),
+        np.array([-1, -1, 5.0]), np.array([1, 1, 7.0]),
+    )
+    assert hit[0] and not hit[1]
+    assert abs(tmin[0] - 5.0) < 1e-9
+
+    # box behind an occluder is mostly invisible
+    corners = np.array([[0, 0, 20.0]])
+    occ = np.array([[[-1, -1, 5.0], [1, 1, 7.0]]])
+    assert box_visibility(corners, occ, P2) == 0.0
+    assert box_visibility(np.array([[10, 0, 20.0]]), occ, P2) == 1.0
+
+
+def test_autobatch_compile_only():
+    import jax
+    import jax.numpy as jnp
+
+    from yolov10_3d_tpu.utils.autobatch import check_train_batch_size
+
+    def step(state, batch):
+        return state + batch["x"].sum()
+
+    b = check_train_batch_size(
+        step, lambda b: {"x": jnp.zeros((b, 8))}, jnp.zeros(()), max_batch=64
+    )
+    assert b >= 1
