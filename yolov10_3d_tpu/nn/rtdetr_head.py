@@ -49,7 +49,7 @@ class RTDETRDecoder(nn.Module):
             for i in range(self.ndl)
         ]
         self.query_pos_head = MLP(2 * self.hd, self.hd, 2)
-        self.enc_output = [nn.Dense(self.hd), nn.LayerNorm()]
+        self.enc_output = [nn.Dense(self.hd), nn.LayerNorm(epsilon=1e-5)]
         self.enc_score_head = nn.Dense(self.nc)
         self.enc_bbox_head = MLP(self.hd, 4, 3)
         self.dec_score_head = [nn.Dense(self.nc) for _ in range(self.ndl)]

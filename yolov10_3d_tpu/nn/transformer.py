@@ -95,19 +95,18 @@ class AIFI(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         B, H, W, C = x.shape
-        # torch flattens NCHW with w-major... its (h,w) meshgrid uses
-        # indexing='ij' over (w, h) then flatten: position of (y, x) token at
-        # index y*W + x matches our row-major NHWC flatten with pos built from
-        # meshgrid(w, h, 'ij') transposed — replicate by building pos for
-        # (w, h) and reshaping
-        pos = self.pos_embedding(W, H, C).reshape(1, W, H, C).transpose(0, 2, 1, 3).reshape(1, H * W, C)
+        # NOTE upstream quirk preserved for parity: the reference builds the
+        # position table with a (w, h) 'ij' meshgrid flattened w-major but adds
+        # it to h-major flattened tokens (transformer.py:98-117) — the trained
+        # weights absorb the mismatch, so replicate it verbatim
+        pos = self.pos_embedding(W, H, C)
         src = x.reshape(B, H * W, C)
         q = k = src + pos
         attn_out = MultiheadAttention(C, self.num_heads, name="ma")(q, k, src)
-        src = nn.LayerNorm(name="norm1")(src + attn_out)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + attn_out)
         ffn = nn.Dense(self.cm, name="fc1")(src)
         ffn = nn.Dense(C, name="fc2")(nn.gelu(ffn, approximate=False))
-        src = nn.LayerNorm(name="norm2")(src + ffn)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm2")(src + ffn)
         return src.reshape(B, H, W, C)
 
 
@@ -217,7 +216,7 @@ class DeformableTransformerDecoderLayer(nn.Module):
         tgt = MultiheadAttention(self.d_model, self.n_heads, name="self_attn")(
             q, k, embed, attn_mask
         )
-        embed = nn.LayerNorm(name="norm1")(embed + tgt)
+        embed = nn.LayerNorm(epsilon=1e-5, name="norm1")(embed + tgt)
         tgt = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points, name="cross_attn"
         )(
@@ -226,7 +225,7 @@ class DeformableTransformerDecoderLayer(nn.Module):
             feats,
             shapes,
         )
-        embed = nn.LayerNorm(name="norm2")(embed + tgt)
+        embed = nn.LayerNorm(epsilon=1e-5, name="norm2")(embed + tgt)
         ffn = nn.Dense(self.d_ffn, name="linear1")(embed)
         ffn = nn.Dense(self.d_model, name="linear2")(nn.relu(ffn))
-        return nn.LayerNorm(name="norm3")(embed + ffn)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(embed + ffn)

@@ -60,7 +60,13 @@ def convert_torch_state_dict(
                     raise KeyError(f"no torch module for flax path {'/'.join(path)}")
                 return tree
             if collection == "params":
-                if leaf == "kernel":
+                if leaf in ("in_proj_weight", "in_proj_bias"):
+                    # torch nn.MultiheadAttention fused projections are stored
+                    # as leaves on the attention module itself; our
+                    # MultiheadAttention uses the identical (3d, d) layout
+                    w = mod[leaf]
+                    used.add(prefix + "." + leaf)
+                elif leaf == "kernel":
                     w = mod["weight"]
                     used.add(prefix + ".weight")
                     if w.ndim == 4:
