@@ -27,7 +27,7 @@ def main():
 
     batch = 32
     hw = 640
-    model, spec = build_model("yolov10_3d_tpu/cfg/models/v10/yolov10s.yaml")
+    model, spec = build_model("yolov10_3d_tpu/cfg/models/v10/yolov10s.yaml", fast_eval=True)
     x0 = jnp.zeros((1, hw, hw, 3), jnp.float32)
     variables = jax.jit(model.init, static_argnames="train")(
         jax.random.PRNGKey(0), x0, train=False

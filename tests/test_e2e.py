@@ -107,3 +107,27 @@ def test_cli_smoke(tiny_dataset, capsys, tmp_path):
     assert rc == 0
     out = capsys.readouterr().out
     assert "detections" in out
+
+
+def test_resume_training(tiny_dataset, tmp_path):
+    """Train 2 epochs, resume for 2 more — optimizer/EMA/step restored
+    (reference trainer.py:668-728 + the fork's CLI auto-resume)."""
+    from yolov10_3d_tpu import YOLOv10
+
+    common = dict(
+        data=str(tiny_dataset), imgsz=64, batch=8, workers=2,
+        warmup_epochs=0.0, val_period=10, close_mosaic=0, mosaic=0.0,
+        mixup=0.0, save_dir=str(tmp_path / "run"), patience=100, amp=False,
+    )
+    m1 = YOLOv10("yolov10n.yaml")
+    s1 = m1.train(epochs=2, **common)
+    step_after_2 = int(s1.step)
+
+    m2 = YOLOv10("yolov10n.yaml")
+    s2 = m2.train(epochs=4, resume=True, **common)
+    assert int(s2.step) > step_after_2
+    import csv
+
+    rows = list(csv.DictReader(open(tmp_path / "run" / "results.csv")))
+    epochs_seen = [int(r["epoch"]) for r in rows]
+    assert epochs_seen == [0, 1, 2, 3]  # resume continued at epoch 2

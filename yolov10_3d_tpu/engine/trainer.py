@@ -150,6 +150,16 @@ class DetectionTrainer:
         )
         state = TrainState.create(variables, tx)
 
+        start_epoch = 0
+        resume_path = None
+        if args.resume:
+            cand = self.save_dir / "weights" / "last.ckpt"
+            resume_path = args.resume if isinstance(args.resume, str) else str(cand)
+            if Path(resume_path).exists():
+                state, start_epoch = self.load_resume(resume_path, state)
+            else:
+                resume_path = None
+
         mesh = get_mesh() if n_dev > 1 else None
         if mesh is not None:
             pstep = make_parallel_train_step(step_fn, mesh)
@@ -165,7 +175,7 @@ class DetectionTrainer:
         self.run_callbacks("on_train_start")
 
         epochs = args.epochs
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             if args.close_mosaic and epoch == epochs - args.close_mosaic:
                 train_ds.close_mosaic()
             self.run_callbacks("on_train_epoch_start")
@@ -220,14 +230,39 @@ class DetectionTrainer:
 
     @staticmethod
     def save_ckpt(path, state: TrainState, meta):
+        from flax import serialization
+
         host = jax.device_get
+        meta = {**meta, "step": int(state.step)}
         save_checkpoint(
             path,
             params=host(state.params),
             batch_stats=host(state.batch_stats),
             ema_params=host(state.ema_params),
+            opt_state=serialization.to_state_dict(host(state.opt_state)),
             meta=meta,
         )
+
+    @staticmethod
+    def load_resume(path, state: TrainState):
+        """Restore params/EMA/BN/optimizer/step from last.ckpt (reference
+        trainer.py:668-728 resume semantics)."""
+        from flax import serialization
+
+        from ..utils.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(path)
+        opt_state = state.opt_state
+        if ckpt.get("opt_state"):
+            opt_state = serialization.from_state_dict(state.opt_state, ckpt["opt_state"])
+        new_state = state.replace(
+            step=jnp.asarray(int(ckpt["meta"].get("step", 0)), jnp.int32),
+            params=ckpt["params"],
+            batch_stats=ckpt.get("batch_stats") or state.batch_stats,
+            ema_params=ckpt.get("ema_params") or ckpt["params"],
+            opt_state=opt_state,
+        )
+        return new_state, int(ckpt["meta"].get("epoch", -1)) + 1
 
     @staticmethod
     def _write_csv(path: Path, row: Dict):

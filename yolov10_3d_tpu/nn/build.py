@@ -327,11 +327,18 @@ def _build_module(spec: LayerSpec, name: str, extras: Dict[str, Any]):
     if spec.module == "Detect":
         return H.Detect(nc=a[0], ch=a[1], name=name)
     if spec.module == "v10Detect":
-        return H.V10Detect(nc=a[0], ch=a[1], name=name)
+        return H.V10Detect(
+            nc=a[0], ch=a[1],
+            eval_one2many=not extras.get("fast_eval", False), name=name,
+        )
     if spec.module == "v10Detect3d":
         from .heads3d import V10Detect3d
 
-        return V10Detect3d(nc=a[0], ch=a[1], cfg=tuple(sorted(extras.items())), name=name)
+        head_cfg = tuple(sorted((k, v) for k, v in extras.items() if k != "fast_eval"))
+        return V10Detect3d(
+            nc=a[0], ch=a[1], cfg=head_cfg,
+            eval_one2many=not extras.get("fast_eval", False), name=name,
+        )
     raise ValueError(spec.module)
 
 
@@ -343,10 +350,12 @@ class YOLOModel(nn.Module):
     """
 
     spec: ModelSpec
+    fast_eval: bool = False  # serving: skip train-only head branches at eval
 
     def setup(self):
         extras = dict(self.spec.yaml_extras)
         extras["strides"] = self.spec.strides
+        extras["fast_eval"] = self.fast_eval
         # n>1 layers are torch nn.Sequential(model.i.0..n-1); flatten to
         # model_{i}_{j} names for converter parity
         self.layers = [
@@ -389,7 +398,10 @@ class YOLOModel(nn.Module):
 
 
 def build_model(
-    cfg: Union[str, dict], scale: Optional[str] = None, nc: Optional[int] = None
+    cfg: Union[str, dict],
+    scale: Optional[str] = None,
+    nc: Optional[int] = None,
+    fast_eval: bool = False,
 ) -> Tuple[YOLOModel, ModelSpec]:
     spec = parse_model_yaml(cfg, scale=scale, nc=nc)
-    return YOLOModel(spec=spec), spec
+    return YOLOModel(spec=spec, fast_eval=fast_eval), spec

@@ -88,6 +88,9 @@ class V10Detect(nn.Module):
     nc: int
     ch: Tuple[int, ...]
     max_det: int = 300
+    # serving mode: skip the one2many branch at eval (it only feeds the
+    # training loss; inference reads one2one exclusively — predict.py:8-38)
+    eval_one2many: bool = True
 
     def setup(self):
         c2 = max(16, self.ch[0] // 4, REG_MAX * 4)
@@ -110,6 +113,8 @@ class V10Detect(nn.Module):
     ) -> Dict[str, List[jax.Array]]:
         xs_det = [jax.lax.stop_gradient(x) for x in xs]
         one2one = self._forward_feat(xs_det, self.one2one_cv2, self.one2one_cv3, train)
+        if not train and not self.eval_one2many:
+            return {"one2one": one2one}
         one2many = self._forward_feat(xs, self.cv2, self.cv3, train)
         return {"one2many": one2many, "one2one": one2one}
 

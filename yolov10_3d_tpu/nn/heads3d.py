@@ -66,6 +66,7 @@ class V10Detect3d(nn.Module):
     ch: Tuple[int, ...]
     cfg: Tuple[Tuple[str, object], ...] = ()
     max_det: int = 50
+    eval_one2many: bool = True  # serving mode skips o2m + embeddings at eval
 
     def setup(self):
         cfg = dict(self.cfg)
@@ -191,6 +192,8 @@ class V10Detect3d(nn.Module):
         o2o_heads = [self.cls, self.o2d, self.s2d, self.o3d, self.s3d, self.hd, self.dep, self.dep_un]
         xs_det = [jax.lax.stop_gradient(x) for x in xs]
         one2one, o2o_embs = self._forward_feat(xs_det, o2o_heads, train)
+        if not train and not self.eval_one2many:
+            return {"one2one": one2one, "o2o_embs": o2o_embs}
         one2many, o2m_embs = self._forward_feat(xs, self.o2m_heads, train)
         out = {
             "one2many": one2many,
