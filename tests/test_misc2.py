@@ -120,3 +120,22 @@ def test_autobatch_compile_only():
         step, lambda b: {"x": jnp.zeros((b, 8))}, jnp.zeros(()), max_batch=64
     )
     assert b >= 1
+
+
+def test_profiling_utils():
+    import jax
+    import jax.numpy as jnp
+
+    from yolov10_3d_tpu.utils.profiling import Profile, flops, model_info
+    from _helpers import build_jax
+
+    with Profile() as p:
+        x = sum(range(1000))
+    assert p.t > 0
+
+    f = flops(lambda a, b: a @ b, jnp.zeros((64, 64)), jnp.zeros((64, 64)))
+    assert f is None or f >= 2 * 64**3 * 0.9
+
+    model, spec, variables = build_jax("n")
+    info = model_info(model, variables, imgsz=64)
+    assert info["parameters"] > 2e6
