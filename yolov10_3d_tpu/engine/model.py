@@ -25,12 +25,13 @@ def _resolve_model_cfg(name: str) -> Path:
     if p.exists():
         return p
     stem = p.stem
-    if "3d" in stem.lower():
-        cand = CFG_DIR / "models" / "v10-3D" / f"{stem}.yaml"
-    else:
-        cand = CFG_DIR / "models" / "v10" / f"{stem}.yaml"
-    if cand.exists():
-        return cand
+    families = ["v10-3D"] if "3d" in stem.lower() else [
+        "v10", "v8", "rt-detr", "v9", "v5", "v6", "v3",
+    ]
+    for fam in families:
+        cand = CFG_DIR / "models" / fam / f"{stem}.yaml"
+        if cand.exists():
+            return cand
     raise FileNotFoundError(f"model config not found: {name}")
 
 
@@ -151,11 +152,16 @@ class Model:
 
     def train(self, **kwargs):
         from .trainer import DetectionTrainer
-        from .trainer3d import Detection3DTrainer
+        from .trainer3d import Detection3DTrainer, RTDETRTrainer
 
         overrides = {**self.overrides, "model": self.model_cfg, **kwargs}
         cfg = get_cfg(None, overrides)
-        cls = Detection3DTrainer if self.task == "detect3d" else DetectionTrainer
+        if self.task == "detect3d":
+            cls = Detection3DTrainer
+        elif self.spec.head_module == "RTDETRDecoder":
+            cls = RTDETRTrainer
+        else:
+            cls = DetectionTrainer
         trainer = cls(cfg)
         state = trainer.train()
         if state is not None:

@@ -12,6 +12,23 @@ from typing import Dict
 from .trainer import DetectionTrainer
 
 
+class RTDETRTrainer(DetectionTrainer):
+    """RT-DETR trainer (reference models/rtdetr/train.py): YOLO datasets +
+    the DETR loss over decoder/encoder outputs."""
+
+    def make_loss(self, spec):
+        from ..train.detr_loss import rtdetr_loss
+
+        def loss_fn(preds, batch):
+            total, items = rtdetr_loss(preds, batch)
+            return total, items
+
+        return loss_fn
+
+    def init_params(self, model, spec, variables):
+        return variables  # detr heads keep their default init
+
+
 class Detection3DTrainer(DetectionTrainer):
     def build_dataset(self, path, mode: str):
         name = str(self.args.data).lower()
