@@ -129,3 +129,38 @@ def test_v5_v6_v3_build_and_run():
         )
         out = jax.jit(lambda v, x: model.apply(v, x, train=False))(v, x)
         assert len(out) == 3  # three detection scales
+
+
+def test_yolov9c_forward_parity():
+    """yolov9 family: RepNCSPELAN4/ADown/SPPELAN modules vs reference."""
+    import torch
+    import yaml as _yaml
+
+    load_reference()
+    from ultralytics.nn.tasks import DetectionModel
+
+    d = _yaml.safe_load(open("/root/reference/ultralytics/cfg/models/v9/yolov9c.yaml"))
+    d["yaml_file"] = "yolov9c.yaml"
+    ref = DetectionModel(d, verbose=False)
+    ref.train()
+    for m in ref.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.eval()
+
+    model, spec = build_model("yolov10_3d_tpu/cfg/models/v9/yolov9c.yaml")
+    assert spec.strides == (8, 16, 32)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x0, train=False
+    )
+    sd = {k: v for k, v in state_dict_numpy(ref).items() if "dfl" not in k}
+    variables = convert_torch_state_dict(sd, variables)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (1, 64, 96, 3)).astype(np.float32)
+    with torch.no_grad():
+        out_t = ref(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    out_j = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+        variables, jnp.asarray(img)
+    )
+    for a, b in zip(out_j, out_t):
+        assert np.abs(np.asarray(a) - b.detach().numpy().transpose(0, 2, 3, 1)).max() < 3e-4

@@ -28,7 +28,8 @@ HEAD_MODULES = {"Detect", "v10Detect", "v10Detect3d", "Segment", "Pose", "OBB",
 # Modules following the (c1, c2, ...) channel convention (tasks.py:869-899)
 CH_MODULES = {
     "Conv", "DWConv", "Bottleneck", "SPPF", "SPP", "C2f", "C2", "C3", "PSA",
-    "SCDown", "C2fCIB", "Focus", "Classify", "RepC3",
+    "SCDown", "C2fCIB", "Focus", "Classify", "RepC3", "RepNCSPELAN4", "ADown",
+    "SPPELAN",
 }
 # Modules whose repeat count n is absorbed as an inner arg (tasks.py:910-912)
 REPEAT_MODULES = {"C2f", "C2fCIB", "C2", "C3", "RepC3"}
@@ -158,7 +159,20 @@ def parse_model_yaml(
                 s = args[2]
             elif mname == "Focus":
                 s = 2
+            elif mname == "ADown":
+                s = 2
             out_stride = in_stride * s
+        elif mname == "Silence":
+            c2 = ch_list[f]
+            out_stride = in_stride
+            args = []
+        elif mname == "CBLinear":
+            c1 = ch_list[f]
+            c2 = args[0]  # list of branch channels; layer "channels" = list
+            out_stride = in_stride
+        elif mname == "CBFuse":
+            c2 = ch_list[f[-1]]
+            out_stride = stride_list[f[-1]]
         elif mname in ("HGStem", "HGBlock"):
             # tasks.py:919-923: c1, cm, c2 = ch[f], args[0], args[1] (unscaled)
             c1 = ch_list[f]
@@ -269,6 +283,18 @@ def _build_module(spec: LayerSpec, name: str, extras: Dict[str, Any]):
         return M.HGBlock(a[0], a[1], k, nrep, light, shortcut, name=name)
     if spec.module == "RepC3":
         return M.RepC3(a[0], a[1] if len(a) > 1 else 3, name=name)
+    if spec.module == "RepNCSPELAN4":
+        return M.RepNCSPELAN4(a[0], a[1], a[2], a[3] if len(a) > 3 else 1, name=name)
+    if spec.module == "ADown":
+        return M.ADown(a[0], name=name)
+    if spec.module == "SPPELAN":
+        return M.SPPELAN(a[0], a[1], a[2] if len(a) > 2 else 5, name=name)
+    if spec.module == "Silence":
+        return M.Silence(name=name)
+    if spec.module == "CBLinear":
+        return M.CBLinear(tuple(a[0]), a[1] if len(a) > 1 else 1, name=name)
+    if spec.module == "CBFuse":
+        return M.CBFuse(tuple(a[0]), name=name)
     if spec.module == "AIFI":
         from .transformer import AIFI
 

@@ -578,6 +578,156 @@ class HGBlock(nn.Module):
         return out + x if (self.shortcut and x.shape[-1] == self.c2) else out
 
 
+class RepBottleneck(nn.Module):
+    """Bottleneck with a RepConv first conv (reference block.py:560)."""
+
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    def setup(self):
+        c_ = int(self.c2 * self.e)
+        self.cv1 = RepConv(c_, 3, 1)
+        self.cv2 = Conv(self.c2, 3, 1, g=self.g)
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        y = self.cv2(self.cv1(x, train), train)
+        return x + y if (self.shortcut and x.shape[-1] == self.c2) else y
+
+
+class RepCSP(nn.Module):
+    """CSP over RepBottlenecks (reference block.py:577)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    e: float = 0.5
+
+    def setup(self):
+        c_ = int(self.c2 * self.e)
+        self.cv1 = Conv(c_, 1, 1)
+        self.cv2 = Conv(c_, 1, 1)
+        self.cv3 = Conv(self.c2, 1)
+        self.m = [RepBottleneck(c_, self.shortcut, e=1.0) for _ in range(self.n)]
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        y = self.cv1(x, train)
+        for m in self.m:
+            y = m(y, train)
+        return self.cv3(jnp.concatenate([y, self.cv2(x, train)], -1), train)
+
+
+class RepNCSPELAN4(nn.Module):
+    """CSP-ELAN v9 block (reference block.py:594). args (c2, c3, c4, n)."""
+
+    c2: int
+    c3: int
+    c4: int
+    n: int = 1
+
+    def setup(self):
+        self.cv1 = Conv(self.c3, 1, 1)
+        self.cv2 = [RepCSP(self.c4, self.n), Conv(self.c4, 3, 1)]
+        self.cv3 = [RepCSP(self.c4, self.n), Conv(self.c4, 3, 1)]
+        self.cv4 = Conv(self.c2, 1, 1)
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        y = list(jnp.split(self.cv1(x, train), 2, axis=-1))
+        for seq in (self.cv2, self.cv3):
+            z = y[-1]
+            for m in seq:
+                z = m(z, train)
+            y.append(z)
+        return self.cv4(jnp.concatenate(y, -1), train)
+
+
+class ADown(nn.Module):
+    """v9 hybrid avg/max downsample (reference block.py:619)."""
+
+    c2: int
+
+    def setup(self):
+        self.cv1 = Conv(self.c2 // 2, 3, 2, p=1)
+        self.cv2 = Conv(self.c2 // 2, 1, 1, p=0)
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = nn.avg_pool(x, (2, 2), strides=(1, 1), padding="VALID")
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        x1 = self.cv1(x1, train)
+        x2 = nn.max_pool(x2, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        x2 = self.cv2(x2, train)
+        return jnp.concatenate([x1, x2], -1)
+
+
+class SPPELAN(nn.Module):
+    """SPP-ELAN (reference block.py:639). args (c2, c3, k)."""
+
+    c2: int
+    c3: int
+    k: int = 5
+
+    def setup(self):
+        self.cv1 = Conv(self.c3, 1, 1)
+        self.cv5 = Conv(self.c2, 1, 1)
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        p = self.k // 2
+        pool = lambda t: nn.max_pool(t, (self.k, self.k), strides=(1, 1), padding=[(p, p)] * 2)
+        y = [self.cv1(x, train)]
+        for _ in range(3):
+            y.append(pool(y[-1]))
+        return self.cv5(jnp.concatenate(y, -1), train)
+
+
+class Silence(nn.Module):
+    """Identity passthrough (reference block.py:657)."""
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        return x
+
+
+class CBLinear(nn.Module):
+    """Multi-branch linear projection (reference block.py:670): one conv whose
+    output splits into the configured channel groups."""
+
+    c2s: Tuple[int, ...]
+    k: int = 1
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        pad = autopad(self.k)
+        out = nn.Conv(
+            sum(self.c2s), (self.k, self.k), strides=(self.s, self.s),
+            padding=[(pad, pad)] * 2, use_bias=True, name="conv",
+        )(x)
+        splits = []
+        start = 0
+        for c in self.c2s:
+            splits.append(out[..., start : start + c])
+            start += c
+        return tuple(splits)
+
+
+class CBFuse(nn.Module):
+    """Fuse CBLinear branches by nearest-upsampling to the last input's size
+    and summing (reference block.py:688)."""
+
+    idx: Tuple[int, ...]
+
+    def __call__(self, xs, train: bool = False) -> jax.Array:
+        target = xs[-1]
+        th, tw = target.shape[1], target.shape[2]
+        total = target
+        for i, x in enumerate(xs[:-1]):
+            sel = x[self.idx[i]] if isinstance(x, (tuple, list)) else x
+            fh = th // sel.shape[1]
+            up = jnp.repeat(jnp.repeat(sel, fh, axis=1), tw // sel.shape[2], axis=2)
+            total = total + up
+        return total
+
+
 def dfl_decode(box_logits: jax.Array, reg_max: int = 16) -> jax.Array:
     """Integral (DFL) box decode: softmax over reg_max bins -> expectation.
 
