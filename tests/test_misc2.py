@@ -139,3 +139,35 @@ def test_profiling_utils():
     model, spec, variables = build_jax("n")
     info = model_info(model, variables, imgsz=64)
     assert info["parameters"] > 2e6
+
+
+def test_graft_backbone(tmp_path):
+    """2D COCO backbone -> 3D model grafting (reference train.py:50-62)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolov10_3d_tpu.nn.build import build_model
+    from yolov10_3d_tpu.utils.torch_convert import graft_backbone
+    from _helpers import build_jax
+
+    model2d, spec2d, v2d = build_jax("n")
+    model3d, spec3d = build_model("yolov10_3d_tpu/cfg/models/v10-3D/yolov10n_3D.yaml")
+    x = jnp.zeros((1, 64, 64, 3))
+    v3d = jax.jit(model3d.init, static_argnames="train")(
+        jax.random.PRNGKey(1), x, train=False
+    )
+    grafted = graft_backbone(v3d, v2d, spec3d.head_index)
+    # backbone layer copied exactly
+    a = grafted["params"]["model_0"]["conv"]["kernel"]
+    b = v2d["params"]["model_0"]["conv"]["kernel"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # head untouched (different key sets anyway)
+    hk = f"model_{spec3d.head_index}"
+    a = grafted["params"][hk]
+    b = v3d["params"][hk]
+    leaves_a = jax.tree.leaves(a)
+    leaves_b = jax.tree.leaves(b)
+    assert all(np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(leaves_a, leaves_b))
+    # grafted model still runs
+    out = jax.jit(lambda v, x: model3d.apply(v, x, train=False))(grafted, x)
+    assert "one2one" in out

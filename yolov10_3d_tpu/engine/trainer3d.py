@@ -70,4 +70,16 @@ class Detection3DTrainer(DetectionTrainer):
             params[head_key] = detect3d_bias_init(
                 params[head_key], spec.nc, spec.strides
             )
-        return {**variables, "params": params}
+        variables = {**variables, "params": params}
+
+        # graft a pretrained 2D backbone into all non-head layers (reference
+        # yolov10_3D/train.py:50-62 pulls the HF-hub COCO YOLOv10; offline we
+        # take any local checkpoint via args.pretrained="path.ckpt")
+        pretrained = self.args.get("pretrained")
+        if isinstance(pretrained, str) and pretrained.endswith((".ckpt", ".pt")):
+            from ..engine.model import Model
+            from ..utils.torch_convert import graft_backbone
+
+            src = Model(pretrained)
+            variables = graft_backbone(variables, src.variables, spec.head_index)
+        return variables

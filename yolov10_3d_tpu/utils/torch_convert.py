@@ -98,6 +98,44 @@ def convert_torch_state_dict(
     return out
 
 
+def graft_backbone(
+    target_vars: Mapping[str, Any], source_vars: Mapping[str, Any], head_index: int
+) -> Dict[str, Any]:
+    """Copy every non-head layer's weights from a pretrained model into a new
+    one (reference yolov10_3D/train.py:50-62: the 3D trainer grafts a COCO
+    YOLOv10 backbone into all layers except the 3D head). Layers are matched
+    by name (model_i) and leaf shape; mismatches keep the target init."""
+    import jax
+
+    head_key = f"model_{head_index}"
+
+    def merge(dst, src):
+        if not isinstance(dst, Mapping):
+            if (
+                src is not None
+                and hasattr(src, "shape")
+                and tuple(src.shape) == tuple(dst.shape)
+            ):
+                return jax.numpy.asarray(src, dtype=dst.dtype)
+            return dst
+        out = {}
+        for k, v in dst.items():
+            out[k] = merge(v, src.get(k) if isinstance(src, Mapping) else None)
+        return out
+
+    result = {}
+    for coll, tree in target_vars.items():
+        src_tree = source_vars.get(coll, {})
+        out = {}
+        for layer_name, sub in tree.items():
+            if layer_name == head_key or layer_name not in src_tree:
+                out[layer_name] = sub
+            else:
+                out[layer_name] = merge(sub, src_tree[layer_name])
+        result[coll] = out
+    return result
+
+
 def unconverted_keys(sd: Mapping[str, np.ndarray], variables: Mapping[str, Any]):
     """Diagnostic: torch keys that would not be consumed by conversion."""
     idx = index_torch_state_dict(sd)
