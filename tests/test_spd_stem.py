@@ -1,0 +1,53 @@
+"""Space-to-depth stem rewrite: exact parity with the plain stride-2 stem.
+
+The rewrite (ops/spd_stem.py) must be a pure graph transform: identical
+parameter tree, outputs equal to f32 accumulation noise.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolov10_3d_tpu.ops.spd_stem import spd_stem_conv
+from tests._helpers import CFG_DIR, build_jax
+
+
+def test_spd_conv_matches_strided_conv():
+    rng = np.random.default_rng(3)
+    for H, W, C, O in [(64, 96, 3, 16), (32, 32, 5, 8)]:
+        x = jnp.asarray(rng.normal(size=(2, H, W, C)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, C, O)), jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = spd_stem_conv(x, k)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_spd_stem_model_parity():
+    """yolov10n with spd_stem=True: same param tree, same outputs."""
+    from yolov10_3d_tpu.nn.build import build_model
+
+    plain, spec, variables = build_jax("n")
+    spd, _ = build_model(f"{CFG_DIR}/yolov10n.yaml", spd_stem=True)
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(1, 64, 64, 3)), jnp.float32
+    )
+
+    # identical parameter trees (checkpoint compatibility)
+    plain_paths = {"/".join(map(str, p)) for p, _ in
+                   jax.tree_util.tree_flatten_with_path(variables)[0]}
+    spd_vars = jax.jit(spd.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x, train=False
+    )
+    spd_paths = {"/".join(map(str, p)) for p, _ in
+                 jax.tree_util.tree_flatten_with_path(spd_vars)[0]}
+    assert plain_paths == spd_paths
+
+    ref = jax.jit(lambda v: plain.apply(v, x, train=False))(variables)
+    got = jax.jit(lambda v: spd.apply(v, x, train=False))(variables)
+    for a, b in zip(jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)

@@ -264,7 +264,18 @@ def _build_module(spec: LayerSpec, name: str, extras: Dict[str, Any]):
         g = a[4] if len(a) > 4 else 1
         d = a[5] if len(a) > 5 else 1
         act = a[6] if len(a) > 6 else True
-        return M.Conv(a[0], k, s, p, g, d, act, name=name)
+        # layer 0 with 3 input channels maps badly onto the MXU; rewrite it
+        # as an exact space-to-depth conv when serving (ops/spd_stem.py)
+        spd = bool(
+            extras.get("spd_stem")
+            and spec.i == 0
+            and k == 3
+            and s == 2
+            and p in (None, 1)
+            and g == 1
+            and d == 1
+        )
+        return M.Conv(a[0], k, s, p, g, d, act, spd, name=name)
     if spec.module == "Bottleneck":
         shortcut = a[1] if len(a) > 1 else True
         return M.Bottleneck(a[0], shortcut, name=name)
@@ -360,7 +371,13 @@ def _build_module(spec: LayerSpec, name: str, extras: Dict[str, Any]):
     if spec.module == "v10Detect3d":
         from .heads3d import V10Detect3d
 
-        head_cfg = tuple(sorted((k, v) for k, v in extras.items() if k != "fast_eval"))
+        head_cfg = tuple(
+            sorted(
+                (k, v)
+                for k, v in extras.items()
+                if k not in ("fast_eval", "spd_stem")
+            )
+        )
         return V10Detect3d(
             nc=a[0], ch=a[1], cfg=head_cfg,
             eval_one2many=not extras.get("fast_eval", False), name=name,
@@ -377,11 +394,13 @@ class YOLOModel(nn.Module):
 
     spec: ModelSpec
     fast_eval: bool = False  # serving: skip train-only head branches at eval
+    spd_stem: bool = False  # serving: exact space-to-depth stem rewrite
 
     def setup(self):
         extras = dict(self.spec.yaml_extras)
         extras["strides"] = self.spec.strides
         extras["fast_eval"] = self.fast_eval
+        extras["spd_stem"] = self.spd_stem
         # n>1 layers are torch nn.Sequential(model.i.0..n-1); flatten to
         # model_{i}_{j} names for converter parity
         self.layers = [
@@ -428,6 +447,7 @@ def build_model(
     scale: Optional[str] = None,
     nc: Optional[int] = None,
     fast_eval: bool = False,
+    spd_stem: bool = False,
 ) -> Tuple[YOLOModel, ModelSpec]:
     spec = parse_model_yaml(cfg, scale=scale, nc=nc)
-    return YOLOModel(spec=spec, fast_eval=fast_eval), spec
+    return YOLOModel(spec=spec, fast_eval=fast_eval, spd_stem=spd_stem), spec

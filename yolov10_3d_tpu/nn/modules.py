@@ -47,21 +47,25 @@ class Conv(nn.Module):
     g: int = 1
     d: int = 1
     act: Any = True  # True=SiLU, False=identity, or "relu"/"gelu"
+    spd: bool = False  # exact space-to-depth rewrite of a k3/s2 stem conv
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         pad = autopad(self.k, self.p, self.d)
-        x = nn.Conv(
-            features=self.c2,
-            kernel_size=(self.k, self.k),
-            strides=(self.s, self.s),
-            padding=[(pad, pad), (pad, pad)],
-            feature_group_count=self.g,
-            kernel_dilation=(self.d, self.d),
-            use_bias=False,
-            dtype=x.dtype,
-            name="conv",
-        )(x)
+        if self.spd:
+            x = _SPDStemConv(self.c2, name="conv")(x)
+        else:
+            x = nn.Conv(
+                features=self.c2,
+                kernel_size=(self.k, self.k),
+                strides=(self.s, self.s),
+                padding=[(pad, pad), (pad, pad)],
+                feature_group_count=self.g,
+                kernel_dilation=(self.d, self.d),
+                use_bias=False,
+                dtype=x.dtype,
+                name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
@@ -70,6 +74,30 @@ class Conv(nn.Module):
             name="bn",
         )(x)
         return apply_act(x, self.act)
+
+
+class _SPDStemConv(nn.Module):
+    """Exact MXU-friendly rewrite of a Conv(k=3, s=2, p=1, bias=False) stem.
+
+    Declares the SAME ``kernel`` param (3,3,C,c2) as the nn.Conv it replaces,
+    so parameter trees and checkpoints are identical; only the compute graph
+    changes (space-to-depth packing + k2/s1 conv, see ops/spd_stem.py).
+    Requires even input H/W — guaranteed by stride-multiple image sizes.
+    """
+
+    c2: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops.spd_stem import spd_stem_conv
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.c2),
+            jnp.float32,
+        )
+        return spd_stem_conv(x, kernel)
 
 
 def apply_act(x: jax.Array, act) -> jax.Array:
