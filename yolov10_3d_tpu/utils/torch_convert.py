@@ -79,6 +79,15 @@ def convert_torch_state_dict(
                 elif leaf == "bias":
                     w = mod["bias"]
                     used.add(prefix + ".bias")
+                elif leaf == "embedding":
+                    # flax nn.Embed <- torch nn.Embedding.weight, same layout
+                    w = mod["weight"]
+                    used.add(prefix + ".weight")
+                elif leaf in mod:
+                    # verbatim leaf parameters/buffers (SAM rel_pos_h/w,
+                    # pos_embed, positional_encoding_gaussian_matrix, ...)
+                    w = mod[leaf]
+                    used.add(prefix + "." + leaf)
                 else:
                     raise KeyError(f"unknown param leaf {leaf} at {prefix}")
             else:  # batch_stats
