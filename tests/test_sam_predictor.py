@@ -64,6 +64,23 @@ def test_build_map():
         build_sam("sam_q")
 
 
+def test_mobile_sam_end_to_end():
+    import jax
+    import jax.numpy as jnp
+
+    model = build_sam("mobile_sam", img_size=64)
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                           method=Sam.init_all)
+    )()
+    p = SAMPredictor(model, variables)
+    img = np.random.default_rng(1).uniform(0, 255, (64, 64, 3)).astype(np.uint8)
+    p.set_image(img)
+    assert p.features.shape == (1, 4, 4, 256)
+    masks, scores = p.prompt_inference(points=[[32, 32]], multimask_output=True)
+    assert masks.shape == (3, 16, 16) and scores.shape == (3,)
+
+
 def test_remove_small_regions():
     m = np.zeros((2, 32, 32), bool)
     m[0, 4:20, 4:20] = True
