@@ -33,9 +33,7 @@ def test_rtdetr_param_count_vs_reference(rtdetr):
     n_ref = sum(p.numel() for p in ref.parameters())
     model, spec, variables = rtdetr
     n_ours = sum(v.size for v in jax.tree.leaves(variables["params"]))
-    # we do not carry the training-only denoising class embedding (nc * 256)
-    dn_embed = 80 * 256
-    assert n_ours + dn_embed == n_ref, (n_ours, n_ref, n_ref - n_ours)
+    assert n_ours == n_ref, (n_ours, n_ref, n_ref - n_ours)
 
 
 def test_rtdetr_forward(rtdetr):
@@ -103,12 +101,7 @@ def test_rtdetr_forward_parity_with_converted_weights():
     variables = jax.jit(model.init, static_argnames="train")(
         jax.random.PRNGKey(0), x0, train=False
     )
-    sd = {
-        k: v
-        for k, v in state_dict_numpy(ref).items()
-        if "denoising_class_embed" not in k
-    }
-    variables = convert_torch_state_dict(sd, variables)
+    variables = convert_torch_state_dict(state_dict_numpy(ref), variables)
 
     rng = np.random.default_rng(0)
     img = rng.uniform(0, 1, (1, 128, 160, 3)).astype(np.float32)

@@ -89,6 +89,10 @@ class DetectionTrainer:
 
         return loss_fn
 
+    def make_head_kwargs_fn(self, spec):
+        """Optional per-batch extra head inputs (RT-DETR denoising)."""
+        return None
+
     def init_params(self, model, spec, variables):
         """Head bias init (reference bias_init); tasks override."""
         from ..nn.heads import detect_bias_init
@@ -147,6 +151,7 @@ class DetectionTrainer:
             model, tx, nc=spec.nc, strides=spec.strides,
             compute_dtype=jnp.bfloat16 if args.amp else jnp.float32,
             loss_fn=self.make_loss(spec),
+            head_kwargs_fn=self.make_head_kwargs_fn(spec),
         )
         state = TrainState.create(variables, tx)
 

@@ -14,16 +14,43 @@ from .trainer import DetectionTrainer
 
 class RTDETRTrainer(DetectionTrainer):
     """RT-DETR trainer (reference models/rtdetr/train.py): YOLO datasets +
-    the DETR loss over decoder/encoder outputs."""
+    the DETR loss over decoder/encoder outputs, with contrastive denoising
+    groups built inside the head (train/cdn.py)."""
+
+    num_denoising = 100  # reference head.py:300 nd
 
     def make_loss(self, spec):
         from ..train.detr_loss import rtdetr_loss
 
+        nd = self.num_denoising
+
         def loss_fn(preds, batch):
-            total, items = rtdetr_loss(preds, batch)
+            # static denoising split, derived from the padded GT size M the
+            # same way the head's get_cdn_group does (train/cdn.py)
+            M = batch["gt_labels"].shape[1]
+            G = max(nd // M, 1)
+            D = 2 * G * M
+            dn_meta = {
+                "dn_num_group": G,
+                "dn_num_split": (D, preds["dec_bboxes"].shape[2] - D),
+            }
+            total, items = rtdetr_loss(preds, batch, dn_meta=dn_meta)
             return total, items
 
         return loss_fn
+
+    def make_head_kwargs_fn(self, spec):
+        import jax
+
+        def fn(batch, step):
+            return {
+                "gt_cls": batch["gt_labels"],
+                "gt_bboxes": batch["gt_bboxes"],
+                "gt_mask": batch["mask_gt"],
+                "dn_rng": jax.random.fold_in(jax.random.PRNGKey(0), step),
+            }
+
+        return fn
 
     def init_params(self, model, spec, variables):
         return variables  # detr heads keep their default init

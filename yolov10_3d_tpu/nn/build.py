@@ -414,10 +414,15 @@ class YOLOModel(nn.Module):
             for s in self.spec.layers
         ]
 
-    def __call__(self, x: jax.Array, train: bool = False):
-        """x: (B, H, W, 3) normalized image. Returns head output."""
+    def __call__(self, x: jax.Array, train: bool = False, head_kwargs=None):
+        """x: (B, H, W, 3) normalized image. Returns head output.
+
+        head_kwargs: optional extra kwargs for the final (head) layer — used
+        to feed RT-DETR contrastive-denoising queries (train/cdn.py) the way
+        the reference passes `batch` into RTDETRDecoder (head.py:367)."""
         saved: Dict[int, jax.Array] = {}
         out = x
+        last_i = self.spec.layers[-1].i
         for spec, layer in zip(self.spec.layers, self.layers):
             def _lookup(j):
                 if j == -1:
@@ -435,6 +440,8 @@ class YOLOModel(nn.Module):
                 out = inp
                 for sub in layer:
                     out = sub(out, train)
+            elif head_kwargs is not None and spec.i == last_i:
+                out = layer(inp, train, **head_kwargs)
             else:
                 out = layer(inp, train)
             if spec.i in self.spec.save:

@@ -10,7 +10,7 @@ are deferred — the head exposes enc/dec outputs for a detr-style loss.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,8 +30,12 @@ class RTDETRDecoder(nn.Module):
     nh: int = 8
     ndl: int = 6
     d_ffn: int = 1024
+    nd: int = 100  # num denoising queries (reference head.py:300)
+    label_noise_ratio: float = 0.5
+    box_noise_scale: float = 1.0
 
     def setup(self):
+        self.denoising_class_embed = nn.Embed(self.nc, self.hd)
         nl = len(self.ch)
         # torch input_proj.{i}: Sequential(Conv2d no-bias, BN) -> names
         # input_proj_{i}_{0,1}
@@ -71,7 +75,33 @@ class RTDETRDecoder(nn.Module):
         a = jnp.where(valid, a, jnp.inf)
         return a, valid
 
-    def __call__(self, xs: Sequence[jax.Array], train: bool = False) -> Dict:
+    def __call__(
+        self,
+        xs: Sequence[jax.Array],
+        train: bool = False,
+        dn_embed: Optional[jax.Array] = None,  # (B, D, hd) CDN queries
+        dn_bbox: Optional[jax.Array] = None,  # (B, D, 4) logit boxes
+        dn_attn_mask: Optional[jax.Array] = None,  # (D+nq, D+nq) bool
+        gt_cls: Optional[jax.Array] = None,  # (B, M): build CDN internally
+        gt_bboxes: Optional[jax.Array] = None,  # (B, M, 4) xywh normalized
+        gt_mask: Optional[jax.Array] = None,  # (B, M)
+        dn_rng: Optional[jax.Array] = None,
+    ) -> Dict:
+        if self.is_initializing():
+            _ = self.denoising_class_embed.embedding  # materialize the param
+        if train and gt_cls is not None and dn_embed is None:
+            # build contrastive denoising groups from GT with the head's own
+            # class embedding (reference head.py:372-377 get_cdn_group)
+            from ..train.cdn import get_cdn_group
+
+            dn_embed, dn_bbox, dn_attn_mask, _ = get_cdn_group(
+                gt_cls, gt_bboxes, gt_mask, self.nc, self.nq,
+                self.denoising_class_embed.embedding,
+                dn_rng if dn_rng is not None else jax.random.PRNGKey(0),
+                num_dn=self.nd,
+                cls_noise_ratio=self.label_noise_ratio,
+                box_noise_scale=self.box_noise_scale,
+            )
         feats_l = []
         shapes = []
         for i, x in enumerate(xs):
@@ -85,7 +115,9 @@ class RTDETRDecoder(nn.Module):
         anchors, valid = self._anchors(shapes)
         f = self.enc_output[1](self.enc_output[0](jnp.where(valid, feats, 0.0)))
         enc_scores = self.enc_score_head(f)  # (B, A, nc)
-        _, topk_ind = jax.lax.top_k(enc_scores.max(-1), self.nq)
+        # clamp to the anchor count so small probe images still trace (the
+        # parameter tree is independent of the query count)
+        _, topk_ind = jax.lax.top_k(enc_scores.max(-1), min(self.nq, enc_scores.shape[1]))
         top_feat = jnp.take_along_axis(f, topk_ind[..., None], axis=1)
         top_anchor = jnp.take_along_axis(
             jnp.broadcast_to(anchors, (B,) + anchors.shape[1:]), topk_ind[..., None], axis=1
@@ -99,6 +131,12 @@ class RTDETRDecoder(nn.Module):
             embed = jax.lax.stop_gradient(embed)
             refer = jax.lax.stop_gradient(refer)
 
+        # prepend contrastive denoising queries (reference head.py:386:
+        # torch.cat([dn_embed, embed], 1) when training with CDN)
+        if dn_embed is not None:
+            embed = jnp.concatenate([dn_embed, embed], axis=1)
+            refer = jnp.concatenate([dn_bbox, refer], axis=1)
+
         refer_s = jax.nn.sigmoid(refer)
         dec_bboxes = []
         dec_scores = []
@@ -106,7 +144,10 @@ class RTDETRDecoder(nn.Module):
         out_b = out_s = None
         for i, layer in enumerate(self.dec_layers):
             qpos = self.query_pos_head(refer_s)
-            embed = layer(embed, refer_s, feats, tuple(shapes), query_pos=qpos)
+            embed = layer(
+                embed, refer_s, feats, tuple(shapes),
+                attn_mask=dn_attn_mask, query_pos=qpos,
+            )
             bbox = self.dec_bbox_head[i](embed)
             refined = jax.nn.sigmoid(bbox + inverse_sigmoid(refer_s))
             if train:

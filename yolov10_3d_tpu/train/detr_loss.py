@@ -139,24 +139,39 @@ def _single_layer_loss(pred_bboxes, pred_scores, gt_bboxes, gt_labels, mask_gt, 
     return loss_class, l1, loss_giou
 
 
+def _dn_layer_loss(pred_bboxes, pred_scores, gt_bboxes, gt_labels, mask_gt, num_group):
+    """Denoising loss with the FIXED assignment: dn slot i*M + j of the
+    positive half is gt j of group i (reference RTDETRDetectionLoss
+    get_dn_match_indices, models/utils/loss.py). Negatives stay background."""
+    B, M = gt_labels.shape
+    G = num_group
+    gt_b = jnp.tile(gt_bboxes, (1, G, 1))
+    gt_l = jnp.tile(gt_labels, (1, G))
+    gt_m = jnp.tile(mask_gt, (1, G))
+    matched = jnp.broadcast_to(jnp.arange(G * M)[None], (B, G * M))  # identity
+    return _single_layer_loss(pred_bboxes, pred_scores, gt_b, gt_l, gt_m, matched)
+
+
 def rtdetr_loss(
     preds: Dict[str, jax.Array],
     batch: Dict[str, jax.Array],
     aux_loss: bool = True,
+    dn_meta: Dict = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Loss over the head's train outputs: final decoder layer + auxiliary
-    losses on earlier layers and encoder proposals (DETRLoss.forward)."""
+    losses on earlier layers and encoder proposals (DETRLoss.forward). With
+    dn_meta (train/cdn.py), decoder tensors carry D denoising queries in
+    front; they get the fixed-assignment denoising loss on every layer
+    (reference RTDETRDetectionLoss.forward, models/utils/loss.py)."""
     gt_bboxes = batch["gt_bboxes"].astype(jnp.float32)  # xywh normalized
     gt_labels = batch["gt_labels"].astype(jnp.int32)
     mask_gt = batch["mask_gt"]
 
-    dec_b = preds["dec_bboxes"].astype(jnp.float32)  # (L, B, Q, 4)
+    dec_b = preds["dec_bboxes"].astype(jnp.float32)  # (L, B, Q(+D), 4)
     dec_s = preds["dec_scores"].astype(jnp.float32)
+    D = dn_meta["dn_num_split"][0] if dn_meta is not None else 0
     layers_b = [dec_b[i] for i in range(dec_b.shape[0])]
     layers_s = [dec_s[i] for i in range(dec_s.shape[0])]
-    if "enc_bboxes" in preds:
-        layers_b.append(preds["enc_bboxes"].astype(jnp.float32))
-        layers_s.append(preds["enc_scores"].astype(jnp.float32))
 
     items = {}
     total = jnp.zeros(())
@@ -164,10 +179,28 @@ def rtdetr_loss(
     for i, (pb, ps) in enumerate(zip(layers_b, layers_s)):
         if not aux_loss and i != idx_main:
             continue
+        if D:
+            dn_b, pb = pb[:, :D], pb[:, D:]
+            dn_s, ps = ps[:, :D], ps[:, D:]
+            lc_dn, lb_dn, lg_dn = _dn_layer_loss(
+                dn_b, dn_s, gt_bboxes, gt_labels, mask_gt, dn_meta["dn_num_group"]
+            )
+            total = total + lc_dn + lb_dn + lg_dn
+            if i == idx_main:
+                items.update(
+                    {"loss_class_dn": lc_dn, "loss_bbox_dn": lb_dn, "loss_giou_dn": lg_dn}
+                )
         matched = hungarian_match(pb, ps, gt_bboxes, gt_labels, mask_gt)
         lc, lb, lg = _single_layer_loss(pb, ps, gt_bboxes, gt_labels, mask_gt, matched)
         total = total + lc + lb + lg
         if i == idx_main:
             items.update({"loss_class": lc, "loss_bbox": lb, "loss_giou": lg})
+
+    if "enc_bboxes" in preds and aux_loss:
+        pb = preds["enc_bboxes"].astype(jnp.float32)
+        ps = preds["enc_scores"].astype(jnp.float32)
+        matched = hungarian_match(pb, ps, gt_bboxes, gt_labels, mask_gt)
+        lc, lb, lg = _single_layer_loss(pb, ps, gt_bboxes, gt_labels, mask_gt, matched)
+        total = total + lc + lb + lg
     items["total"] = total
     return total, items

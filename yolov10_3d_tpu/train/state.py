@@ -50,9 +50,11 @@ def make_train_step(
     one2many_topk: int = 10,
     compute_dtype: jnp.dtype = jnp.float32,
     loss_fn: Optional[Callable] = None,
+    head_kwargs_fn: Optional[Callable] = None,
 ) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the jittable train step. ``loss_fn(preds, batch)`` may override the
-    default v10 dual loss (used by the 3D trainer)."""
+    default v10 dual loss (used by the 3D trainer). ``head_kwargs_fn(batch,
+    step)`` supplies extra head inputs (RT-DETR contrastive denoising)."""
 
     def _loss(preds, batch):
         if loss_fn is not None:
@@ -65,11 +67,17 @@ def make_train_step(
         img = batch["img"].astype(compute_dtype)
 
         def forward(params):
+            extra = (
+                {"head_kwargs": head_kwargs_fn(batch, state.step)}
+                if head_kwargs_fn is not None
+                else {}
+            )
             preds, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 img,
                 train=True,
                 mutable=["batch_stats"],
+                **extra,
             )
             total, aux = _loss(preds, batch)
             return total.astype(jnp.float32), (aux, mut["batch_stats"])
