@@ -71,6 +71,7 @@ class V10Detect3d(nn.Module):
     def setup(self):
         cfg = dict(self.cfg)
         self.dsconv = bool(cfg.get("dsconv") or False)
+        self.deform = bool(cfg.get("deform") or False)
         self.use_predecessors = bool(cfg.get("use_predecessors") or False)
         self.detach_predecessors = cfg.get("detach_predecessors")
         self.common_head = bool(cfg.get("common_head") or False)
@@ -104,13 +105,16 @@ class V10Detect3d(nn.Module):
                     mods = [Conv(mid, self.k1), _conv1x1(out)]
                 elif self.dsconv:
                     cin_tot = c_in + extra(name)
+                    # deform applies to the k1 conv only (head.py:634-636)
                     mods = [
-                        [Conv(cin_tot, self.k1, g=cin_tot), Conv(mid, 1)],
+                        [Conv(cin_tot, self.k1, g=cin_tot, deform=self.deform),
+                         Conv(mid, 1)],
                         [Conv(mid, self.k2, g=mid), Conv(mid2, 1)],
                         _conv1x1(out),
                     ]
                 else:
-                    mods = [Conv(mid, self.k1), Conv(mid2, self.k2), _conv1x1(out)]
+                    mods = [Conv(mid, self.k1, deform=self.deform),
+                            Conv(mid2, self.k2), _conv1x1(out)]
                 scales.append(mods)
             return scales
 

@@ -48,11 +48,15 @@ class Conv(nn.Module):
     d: int = 1
     act: Any = True  # True=SiLU, False=identity, or "relu"/"gelu"
     spd: bool = False  # exact space-to-depth rewrite of a k3/s2 stem conv
+    deform: bool = False  # modulated deformable conv (reference conv.py:112)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         pad = autopad(self.k, self.p, self.d)
-        if self.spd:
+        if self.deform:
+            # the reference's deform path ignores groups/dilation
+            x = DeformableConv2d(self.c2, self.k, self.s, pad, name="conv")(x)
+        elif self.spd:
             x = _SPDStemConv(self.c2, name="conv")(x)
         else:
             x = nn.Conv(
@@ -74,6 +78,66 @@ class Conv(nn.Module):
             name="bn",
         )(x)
         return apply_act(x, self.act)
+
+
+class DeformableConv2d(nn.Module):
+    """Modulated deformable conv v2 (reference conv.py:37): zero-init offset
+    + modulator convs, regular weights applied through ops/deform.py. The
+    modulator is 2*sigmoid (==1 at init, so the layer starts as a plain
+    conv)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    p: int = 1
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops.deform import deform_conv2d
+
+        conv_args = dict(
+            kernel_size=(self.k, self.k),
+            strides=(self.s, self.s),
+            padding=[(self.p, self.p), (self.p, self.p)],
+            dtype=x.dtype,
+        )
+        offset = nn.Conv(
+            2 * self.k * self.k, use_bias=True,
+            kernel_init=nn.initializers.zeros, name="offset_conv", **conv_args
+        )(x)
+        modulator = 2.0 * jax.nn.sigmoid(
+            nn.Conv(
+                self.k * self.k, use_bias=True,
+                kernel_init=nn.initializers.zeros, name="modulator_conv",
+                **conv_args,
+            )(x)
+        )
+        class _Regular(nn.Module):
+            c2: int
+            k: int
+            bias: bool
+
+            @nn.compact
+            def __call__(self, x, offset, modulator, s, p):
+                kernel = self.param(
+                    "kernel",
+                    nn.initializers.lecun_normal(),
+                    (self.k, self.k, x.shape[-1], self.c2),
+                )
+                b = (
+                    self.param("bias", nn.initializers.zeros, (self.c2,))
+                    if self.bias
+                    else None
+                )
+                return deform_conv2d(
+                    x, offset, modulator, kernel.astype(x.dtype), b,
+                    stride=(s, s), padding=(p, p),
+                )
+
+        return _Regular(self.c2, self.k, self.bias, name="regular_conv")(
+            x, offset, modulator, self.s, self.p
+        )
 
 
 class _SPDStemConv(nn.Module):
