@@ -23,16 +23,16 @@ from . import modules as M
 from . import heads as H
 
 HEAD_MODULES = {"Detect", "v10Detect", "v10Detect3d", "Segment", "Pose", "OBB",
-                "RTDETRDecoder"}
+                "RTDETRDecoder", "WorldDetect"}
 
 # Modules following the (c1, c2, ...) channel convention (tasks.py:869-899)
 CH_MODULES = {
     "Conv", "DWConv", "Bottleneck", "SPPF", "SPP", "C2f", "C2", "C3", "PSA",
     "SCDown", "C2fCIB", "Focus", "Classify", "RepC3", "RepNCSPELAN4", "ADown",
-    "SPPELAN",
+    "SPPELAN", "C2fAttn",
 }
 # Modules whose repeat count n is absorbed as an inner arg (tasks.py:910-912)
-REPEAT_MODULES = {"C2f", "C2fCIB", "C2", "C3", "RepC3"}
+REPEAT_MODULES = {"C2f", "C2fCIB", "C2", "C3", "RepC3", "C2fAttn"}
 
 
 def make_divisible(x: float, divisor: int = 8) -> int:
@@ -149,6 +149,13 @@ def parse_model_yaml(
             if c2 != d_nc:
                 c2 = make_divisible(min(c2, max_channels) * width, 8)
             args = [c2, *args[1:]]
+            if mname == "C2fAttn":  # tasks.py:902: scale embed ch + heads
+                args[1] = make_divisible(min(args[1], max_channels // 2) * width, 8)
+                args[2] = (
+                    int(max(round(min(args[2], max_channels // 2 // 32)) * width, 1))
+                    if args[2] > 1
+                    else args[2]
+                )
             if mname in REPEAT_MODULES:
                 args.insert(1, n)
                 n = 1
@@ -198,10 +205,21 @@ def parse_model_yaml(
             c2 = sum(ch_list[x] for x in f)
             out_stride = in_stride
             args = []
+        elif mname == "ImagePoolingAttn":
+            # updates the text features mid-network (yolov8-world v1); the
+            # layer "output" is the text tensor (tasks.py:631)
+            in_ch = tuple(ch_list[x] for x in f)
+            args = [args[0] if args else 256, in_ch]
+            c2 = 512  # ct
+            out_stride = in_stride
         elif mname in HEAD_MODULES:
             in_ch = tuple(ch_list[x] for x in f)
             head_strides = tuple(stride_list[x] for x in f)
-            if mname == "Segment":
+            if mname == "WorldDetect":
+                embed = args[1] if len(args) > 1 else 512
+                with_bn = bool(args[2]) if len(args) > 2 else False
+                args = [d_nc, in_ch, embed, with_bn]
+            elif mname == "Segment":
                 # [nc, nm, npr]: npr width-scaled (tasks.py:931)
                 nm = args[1] if len(args) > 1 else 32
                 npr = args[2] if len(args) > 2 else 256
@@ -361,6 +379,20 @@ def _build_module(spec: LayerSpec, name: str, extras: Dict[str, Any]):
         )
     if spec.module == "Concat":
         return M.Concat(name=name)
+    if spec.module == "C2fAttn":
+        from .world import C2fAttn
+
+        c2, n, ec, nh = a[0], a[1], a[2], a[3]
+        shortcut = a[4] if len(a) > 4 else False
+        return C2fAttn(c2, n, ec, nh, shortcut=shortcut, name=name)
+    if spec.module == "ImagePoolingAttn":
+        from .world import ImagePoolingAttn
+
+        return ImagePoolingAttn(ec=a[0], ch=a[1], name=name)
+    if spec.module == "WorldDetect":
+        from .world import WorldDetect
+
+        return WorldDetect(nc=a[0], ch=a[1], embed=a[2], with_bn=a[3], name=name)
     if spec.module == "Detect":
         return H.Detect(nc=a[0], ch=a[1], name=name)
     if spec.module == "v10Detect":
@@ -414,15 +446,26 @@ class YOLOModel(nn.Module):
             for s in self.spec.layers
         ]
 
-    def __call__(self, x: jax.Array, train: bool = False, head_kwargs=None):
+    def __call__(
+        self, x: jax.Array, train: bool = False, head_kwargs=None, txt_feats=None
+    ):
         """x: (B, H, W, 3) normalized image. Returns head output.
 
         head_kwargs: optional extra kwargs for the final (head) layer — used
         to feed RT-DETR contrastive-denoising queries (train/cdn.py) the way
-        the reference passes `batch` into RTDETRDecoder (head.py:367)."""
+        the reference passes `batch` into RTDETRDecoder (head.py:367).
+        txt_feats: (B, K, 512) text features for YOLO-World layers
+        (tasks.py:616 WorldModel.predict); defaults to zeros over nc classes."""
         saved: Dict[int, jax.Array] = {}
         out = x
         last_i = self.spec.layers[-1].i
+        has_world = any(
+            s.module in ("C2fAttn", "WorldDetect", "ImagePoolingAttn")
+            for s in self.spec.layers
+        )
+        if has_world and txt_feats is None:
+            txt_feats = jnp.zeros((x.shape[0], self.spec.nc, 512), x.dtype)
+        ori_txt = txt_feats
         for spec, layer in zip(self.spec.layers, self.layers):
             def _lookup(j):
                 if j == -1:
@@ -436,6 +479,13 @@ class YOLOModel(nn.Module):
 
             if spec.module in ("Concat", "Upsample", "ConvTranspose2d"):
                 out = layer(inp)
+            elif spec.module == "C2fAttn":
+                out = layer(inp, txt_feats, train)
+            elif spec.module == "WorldDetect":
+                out = layer(inp, ori_txt, train)
+            elif spec.module == "ImagePoolingAttn":
+                txt_feats = layer(inp, txt_feats)
+                out = txt_feats
             elif isinstance(layer, (list, tuple)):  # n>1 sequential repeat (flax stores tuples)
                 out = inp
                 for sub in layer:
