@@ -1,0 +1,36 @@
+"""TF SavedModel / TFLite export round-trip (reference exporter.py TF
+formats, via jax2tf native serialization)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+tf = pytest.importorskip("tensorflow")
+
+from yolov10_3d_tpu.engine.exporter import Exporter
+from yolov10_3d_tpu.nn.build import build_model
+from yolov10_3d_tpu.ops.postprocess import v10_detections
+
+
+def test_tf_saved_model_roundtrip(tmp_path):
+    model, spec = build_model("yolov10_3d_tpu/cfg/models/v10/yolov10n.yaml", nc=8)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x0, train=False
+    )
+    ex = Exporter(model, spec, variables)
+    p = ex(fmt="tf_saved_model", imgsz=64, max_det=10, out=str(tmp_path / "sm"))
+    loaded = tf.saved_model.load(p)
+    xi = np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    boxes, scores, labels = loaded.f(tf.constant(xi))
+    det = v10_detections(
+        model.apply(variables, jnp.asarray(xi), train=False)["one2one"],
+        spec.strides, spec.nc, max_det=10,
+    )
+    np.testing.assert_allclose(
+        boxes.numpy(), np.asarray(det["boxes"]), rtol=1e-4, atol=1e-4
+    )
+
+    with pytest.raises(RuntimeError, match="onnx"):
+        ex(fmt="onnx")

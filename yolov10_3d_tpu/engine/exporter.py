@@ -91,7 +91,51 @@ class Exporter:
             )
             return path
 
-        raise ValueError(f"unknown export format {fmt!r} (stablehlo, saved_model, ckpt)")
+        if fmt in ("tf_saved_model", "tflite"):
+            # reference exporter.py TF formats, via jax2tf native serialization
+            try:
+                import tensorflow as tf
+                from jax.experimental import jax2tf
+            except ImportError as e:  # pragma: no cover
+                raise RuntimeError(f"{fmt} export requires tensorflow: {e}")
+
+            tf_fn = jax2tf.convert(
+                lambda x: fwd(self.variables, x), native_serialization=True
+            )
+            module = tf.Module()
+            module.f = tf.function(
+                tf_fn,
+                autograph=False,
+                input_signature=[tf.TensorSpec(list(x.shape), tf.float32)],
+            )
+            out_dir = Path(out or f"export_{fmt}")
+            if fmt == "tf_saved_model":
+                tf.saved_model.save(module, str(out_dir))
+                return str(out_dir)
+            converter = tf.lite.TFLiteConverter.from_concrete_functions(
+                [module.f.get_concrete_function()], module
+            )
+            converter.target_spec.supported_ops = [
+                tf.lite.OpsSet.TFLITE_BUILTINS,
+                tf.lite.OpsSet.SELECT_TF_OPS,
+            ]
+            blob = converter.convert()
+            path = Path(out or "model.tflite")
+            path.parent.mkdir(parents=True, exist_ok=True)
+            path.write_bytes(blob)
+            return str(path)
+
+        if fmt == "onnx":  # pragma: no cover - onnx unavailable offline
+            raise RuntimeError(
+                "onnx export requires the onnx package (not available in this "
+                "environment); use 'stablehlo' (portable, PjRt-consumable) or "
+                "'tf_saved_model'/'tflite' instead"
+            )
+
+        raise ValueError(
+            f"unknown export format {fmt!r} "
+            "(stablehlo, saved_model, ckpt, tf_saved_model, tflite)"
+        )
 
 
 def load_exported(path: str):
