@@ -78,3 +78,34 @@ def iou_3d(g: np.ndarray, d: np.ndarray, criterion: int = -1) -> Optional[np.nda
     out = np.empty((len(g), len(d)), np.float32)
     lib.iou_3d(g, len(g), d, len(d), criterion, out)
     return out
+
+
+def build_pjrt_client(out_path: Optional[str] = None) -> Optional[str]:
+    """Compile the C++ PJRT inference client (pjrt_client.cc) against the
+    pjrt_c_api.h shipped in the tensorflow include tree. Returns the binary
+    path, or None if no compiler/header is available."""
+    import glob
+
+    src = _DIR / "pjrt_client.cc"
+    out = out_path or str(_DIR / "pjrt_client")
+    includes = glob.glob(
+        "/opt/venv/lib/python3.12/site-packages/tensorflow/include"
+    ) or glob.glob(str(Path(__file__).resolve().parents[2] / "third_party/xla"))
+    if not includes:
+        try:  # locate via the installed tensorflow package
+            import tensorflow as tf
+
+            includes = [str(Path(tf.__file__).parent / "include")]
+        except ImportError:
+            return None
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17", f"-I{includes[0]}", str(src),
+             "-ldl", "-o", out],
+            check=True,
+            capture_output=True,
+            timeout=300,
+        )
+        return out
+    except (OSError, subprocess.SubprocessError):
+        return None
