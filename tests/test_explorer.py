@@ -1,0 +1,75 @@
+"""Dataset explorer: embeddings table, similarity search, query filters
+(modelled on the reference tests/test_explorer.py behaviors)."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("expset")
+    (root / "images").mkdir()
+    (root / "labels").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        img = np.full((32, 32, 3), 20 * i, np.uint8)
+        img[4:20, 4:20] = 255 - 20 * i
+        cv2.imwrite(str(root / "images" / f"{i}.jpg"), img)
+        n = i % 3
+        lines = [f"{j % 2} 0.5 0.5 0.4 0.4" for j in range(n)]
+        (root / "labels" / f"{i}.txt").write_text("\n".join(lines))
+    return root / "images"
+
+
+@pytest.fixture(scope="module")
+def explorer(dataset):
+    from yolov10_3d_tpu.data.explorer import Explorer
+
+    def embed(batch):
+        # cheap deterministic embedding: channel-mean histogram
+        b = batch.reshape(batch.shape[0], -1, 3)
+        e = np.concatenate([b.mean(1), b.std(1)], -1)
+        return e / np.maximum(np.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
+
+    ex = Explorer(dataset, embed_fn=embed)
+    n = ex.create_embeddings_table()
+    assert n == 6
+    return ex
+
+
+def test_get_similar_by_index(explorer):
+    rows = explorer.get_similar(idx=0, limit=3)
+    assert len(rows) == 3
+    assert rows[0]["im_file"].endswith("0.jpg")  # self is the best match
+    assert rows[0]["similarity"] >= rows[1]["similarity"]
+
+
+def test_get_similar_by_image(explorer, dataset):
+    rows = explorer.get_similar(img=str(dataset / "2.jpg"), limit=2)
+    assert rows[0]["im_file"].endswith("2.jpg")
+
+
+def test_query(explorer):
+    rows = explorer.query("n_labels >= 2")
+    assert all(r["n_labels"] >= 2 for r in rows) and rows
+    rows = explorer.query("1 in classes")
+    assert all(1 in r["classes"] for r in rows) and rows
+
+
+def test_similarity_index(explorer):
+    si = explorer.similarity_index(top_k=2)
+    assert len(si) == 6 and len(si[0]["similar"]) == 2
+
+
+def test_model_embeddings(dataset):
+    """End-to-end with real model features as the embedder."""
+    from yolov10_3d_tpu.data.explorer import Explorer
+    from yolov10_3d_tpu.engine.model import Model
+
+    m = Model("yolov10_3d_tpu/cfg/models/v10/yolov10n.yaml")
+    ex = Explorer(dataset, model=m, imgsz=64)
+    assert ex.create_embeddings_table() == 6
+    rows = ex.get_similar(idx=1, limit=2)
+    assert rows[0]["im_file"].endswith("1.jpg")

@@ -58,9 +58,113 @@ class TensorBoardLogger:
             self._tsv.close()
 
 
+class _MLflowLogger:
+    """reference callbacks/mlflow.py: params at start, metrics per epoch."""
+
+    def __init__(self, trainer):
+        import mlflow
+
+        self.mlflow = mlflow
+        mlflow.set_experiment(getattr(trainer.args, "project", None) or "yolov10_3d_tpu")
+        mlflow.start_run(run_name=getattr(trainer.args, "name", None) or "train")
+        mlflow.log_params(
+            {k: str(v) for k, v in trainer.args.to_dict().items()}
+        )
+
+    def metrics(self, metrics, step):
+        self.mlflow.log_metrics(
+            {k.replace("(", "").replace(")", ""): float(v) for k, v in metrics.items()},
+            step=step,
+        )
+
+    def end(self, trainer):
+        for f in Path(trainer.save_dir).glob("*"):
+            if f.suffix in (".csv", ".png", ".jpg", ".yaml"):
+                self.mlflow.log_artifact(str(f))
+        self.mlflow.end_run()
+
+
+class _WandbLogger:
+    """reference callbacks/wb.py: run init + per-epoch metric dict."""
+
+    def __init__(self, trainer):
+        import wandb
+
+        self.wandb = wandb
+        self.run = wandb.init(
+            project=getattr(trainer.args, "project", None) or "yolov10_3d_tpu",
+            name=getattr(trainer.args, "name", None) or "train",
+            config=trainer.args.to_dict(),
+        )
+
+    def metrics(self, metrics, step):
+        self.run.log({k: float(v) for k, v in metrics.items()}, step=step)
+
+    def end(self, trainer):
+        self.run.finish()
+
+
+class _CometLogger:
+    """reference callbacks/comet.py (minimal: params + metrics)."""
+
+    def __init__(self, trainer):
+        import comet_ml
+
+        self.exp = comet_ml.Experiment(
+            project_name=getattr(trainer.args, "project", None) or "yolov10_3d_tpu"
+        )
+        self.exp.log_parameters(trainer.args.to_dict())
+
+    def metrics(self, metrics, step):
+        self.exp.log_metrics({k: float(v) for k, v in metrics.items()}, step=step)
+
+    def end(self, trainer):
+        self.exp.end()
+
+
+class _DVCLogger:
+    """reference callbacks/dvc.py via dvclive."""
+
+    def __init__(self, trainer):
+        from dvclive import Live
+
+        self.live = Live(str(Path(trainer.save_dir) / "dvclive"))
+        for k, v in trainer.args.to_dict().items():
+            self.live.log_param(k, str(v))
+
+    def metrics(self, metrics, step):
+        for k, v in metrics.items():
+            self.live.log_metric(k, float(v))
+        self.live.next_step()
+
+    def end(self, trainer):
+        self.live.end()
+
+
+_INTEGRATIONS = {
+    "mlflow": _MLflowLogger,
+    "wandb": _WandbLogger,
+    "comet_ml": _CometLogger,
+    "dvclive": _DVCLogger,
+}
+
+
 def add_integration_callbacks(trainer):
-    """Attach available integrations (reference callbacks/base.py:188)."""
+    """Attach available integrations (reference callbacks/base.py:188):
+    TensorBoard (or TSV fallback) always; mlflow/wandb/comet/dvclive when
+    importable — keyed off importability like the reference's SETTINGS
+    toggles, with no network access attempted when absent."""
     tb = TensorBoardLogger(str(Path(trainer.save_dir) / "tb"))
+    loggers = []
+    for mod, cls in _INTEGRATIONS.items():
+        try:
+            __import__(mod)
+        except ImportError:
+            continue
+        try:
+            loggers.append(cls(trainer))
+        except Exception:  # misconfigured integration must not kill training
+            pass
 
     def on_epoch_end(tr):
         state = tr.state
@@ -68,14 +172,26 @@ def add_integration_callbacks(trainer):
             return
         step = int(state.step)
         # best-effort: log whatever the trainer accumulated this epoch
+        metrics = {}
         for k, v in getattr(tr, "last_metrics", {}).items():
             try:
                 tb.scalar(k, float(v), step)
+                metrics[k] = float(v)
             except (TypeError, ValueError):
+                pass
+        for lg in loggers:
+            try:
+                lg.metrics(metrics, step)
+            except Exception:
                 pass
 
     def on_end(tr):
         tb.close()
+        for lg in loggers:
+            try:
+                lg.end(tr)
+            except Exception:
+                pass
         from .plotting import plot_results
 
         csv_path = Path(tr.save_dir) / "results.csv"
