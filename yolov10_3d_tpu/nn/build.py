@@ -29,10 +29,14 @@ HEAD_MODULES = {"Detect", "v10Detect", "v10Detect3d", "Segment", "Pose", "OBB",
 CH_MODULES = {
     "Conv", "DWConv", "Bottleneck", "SPPF", "SPP", "C2f", "C2", "C3", "PSA",
     "SCDown", "C2fCIB", "Focus", "Classify", "RepC3", "RepNCSPELAN4", "ADown",
-    "SPPELAN", "C2fAttn",
+    "SPPELAN", "C2fAttn", "C1", "C3x", "C3TR", "C3Ghost", "BottleneckCSP",
+    "GhostConv", "GhostBottleneck", "ConvTranspose",
 }
 # Modules whose repeat count n is absorbed as an inner arg (tasks.py:910-912)
-REPEAT_MODULES = {"C2f", "C2fCIB", "C2", "C3", "RepC3", "C2fAttn"}
+REPEAT_MODULES = {
+    "C2f", "C2fCIB", "C2", "C3", "RepC3", "C2fAttn", "C1", "C3x", "C3TR",
+    "C3Ghost", "BottleneckCSP",
+}
 
 
 def make_divisible(x: float, divisor: int = 8) -> int:
@@ -160,7 +164,9 @@ def parse_model_yaml(
                 args.insert(1, n)
                 n = 1
             s = 1
-            if mname in ("Conv", "DWConv") and len(args) >= 3:
+            if mname in ("Conv", "DWConv", "GhostConv") and len(args) >= 3:
+                s = args[2]
+            elif mname == "GhostBottleneck" and len(args) >= 3:
                 s = args[2]
             elif mname == "SCDown":
                 s = args[2]
@@ -168,7 +174,11 @@ def parse_model_yaml(
                 s = 2
             elif mname == "ADown":
                 s = 2
-            out_stride = in_stride * s
+            if mname == "ConvTranspose":
+                s = args[2] if len(args) > 2 else 2
+                out_stride = in_stride // s
+            else:
+                out_stride = in_stride * s
         elif mname == "Silence":
             c2 = ch_list[f]
             out_stride = in_stride
@@ -205,6 +215,11 @@ def parse_model_yaml(
             c2 = sum(ch_list[x] for x in f)
             out_stride = in_stride
             args = []
+        elif mname == "ResNetLayer":
+            # yaml args [c2, s, is_first, n]; output e*c2 unless stem
+            c2 = args[0] if (len(args) > 2 and args[2]) else args[0] * 4
+            s_ = args[1] if len(args) > 1 else 1
+            out_stride = in_stride * (4 if (len(args) > 2 and args[2]) else s_)
         elif mname == "ImagePoolingAttn":
             # updates the text features mid-network (yolov8-world v1); the
             # layer "output" is the text tensor (tasks.py:631)
@@ -379,6 +394,34 @@ def _build_module(spec: LayerSpec, name: str, extras: Dict[str, Any]):
         )
     if spec.module == "Concat":
         return M.Concat(name=name)
+    if spec.module == "C1":
+        return M.C1(a[0], a[1], name=name)
+    if spec.module == "C3x":
+        return M.C3x(a[0], a[1], a[2] if len(a) > 2 else True, name=name)
+    if spec.module == "C3TR":
+        return M.C3TR(a[0], a[1], a[2] if len(a) > 2 else True, name=name)
+    if spec.module == "C3Ghost":
+        return M.C3Ghost(a[0], a[1], a[2] if len(a) > 2 else True, name=name)
+    if spec.module == "BottleneckCSP":
+        return M.BottleneckCSP(a[0], a[1], a[2] if len(a) > 2 else True, name=name)
+    if spec.module == "GhostConv":
+        return M.GhostConv(
+            a[0], a[1] if len(a) > 1 else 1, a[2] if len(a) > 2 else 1, name=name
+        )
+    if spec.module == "GhostBottleneck":
+        return M.GhostBottleneck(
+            a[0], a[1] if len(a) > 1 else 3, a[2] if len(a) > 2 else 1, name=name
+        )
+    if spec.module == "ConvTranspose":
+        return M.ConvTransposeBlock(
+            a[0], a[1] if len(a) > 1 else 2, a[2] if len(a) > 2 else 2, name=name
+        )
+    if spec.module == "ResNetLayer":
+        return M.ResNetLayer(
+            a[0], a[1] if len(a) > 1 else 1,
+            bool(a[2]) if len(a) > 2 else False,
+            a[3] if len(a) > 3 else 1, name=name,
+        )
     if spec.module == "C2fAttn":
         from .world import C2fAttn
 

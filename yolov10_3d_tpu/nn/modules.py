@@ -41,7 +41,7 @@ class Conv(nn.Module):
     """
 
     c2: int
-    k: int = 1
+    k: Any = 1  # int or (kh, kw)
     s: int = 1
     p: Optional[int] = None
     g: int = 1
@@ -52,18 +52,21 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        pad = autopad(self.k, self.p, self.d)
+        # k may be an int or a (kh, kw) pair (C3x cross-convolutions)
+        kh, kw = (self.k, self.k) if isinstance(self.k, int) else tuple(self.k)
+        ph = autopad(kh, self.p, self.d)
+        pw = autopad(kw, self.p, self.d)
         if self.deform:
             # the reference's deform path ignores groups/dilation
-            x = DeformableConv2d(self.c2, self.k, self.s, pad, name="conv")(x)
+            x = DeformableConv2d(self.c2, kh, self.s, ph, name="conv")(x)
         elif self.spd:
             x = _SPDStemConv(self.c2, name="conv")(x)
         else:
             x = nn.Conv(
                 features=self.c2,
-                kernel_size=(self.k, self.k),
+                kernel_size=(kh, kw),
                 strides=(self.s, self.s),
-                padding=[(pad, pad), (pad, pad)],
+                padding=[(ph, ph), (pw, pw)],
                 feature_group_count=self.g,
                 kernel_dilation=(self.d, self.d),
                 use_bias=False,
@@ -831,3 +834,252 @@ def dfl_decode(box_logits: jax.Array, reg_max: int = 16) -> jax.Array:
     p = jax.nn.softmax(x.astype(jnp.float32), axis=-1)
     proj = jnp.arange(reg_max, dtype=jnp.float32)
     return (p * proj).sum(-1)
+
+
+class GhostConv(nn.Module):
+    """Ghost convolution (reference conv.py GhostConv): a primary conv plus a
+    cheap depthwise expansion, concatenated."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    act: Any = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = self.c2 // 2
+        y = Conv(c_, self.k, self.s, None, self.g, act=self.act, name="cv1")(x, train)
+        z = Conv(c_, 5, 1, None, c_, act=self.act, name="cv2")(y, train)
+        return jnp.concatenate([y, z], axis=-1)
+
+
+class GhostBottleneck(nn.Module):
+    """Ghost bottleneck (reference block.py GhostBottleneck)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = self.c2 // 2
+        y = GhostConv(c_, 1, 1, name="conv_0")(x, train)
+        if self.s == 2:
+            y = DWConv(c_, self.k, self.s, act=False, name="conv_1")(y, train)
+        y = GhostConv(self.c2, 1, 1, act=False, name="conv_2")(y, train)
+        if self.s == 2:
+            sc = DWConv(x.shape[-1], self.k, self.s, act=False, name="shortcut_0")(x, train)
+            sc = Conv(self.c2, 1, 1, act=False, name="shortcut_1")(sc, train)
+        else:
+            sc = x
+        return y + sc
+
+
+class C1(nn.Module):
+    """CSP bottleneck with 1 conv (reference block.py C1)."""
+
+    c2: int
+    n: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        y = Conv(self.c2, 1, 1, name="cv1")(x, train)
+        z = y
+        for i in range(self.n):
+            z = Conv(self.c2, 3, name=f"m_{i}")(z, train)
+        return z + y
+
+
+class C3x(nn.Module):
+    """C3 with cross ((1,3)/(3,1)) convolutions (reference block.py C3x)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = int(self.c2 * self.e)
+        y = Conv(c_, 1, 1, name="cv1")(x, train)
+        for i in range(self.n):
+            y = Bottleneck(
+                c_, self.shortcut, self.g, k=((1, 3), (3, 1)), e=1.0, name=f"m_{i}"
+            )(y, train)
+        y2 = Conv(c_, 1, 1, name="cv2")(x, train)
+        return Conv(self.c2, 1, name="cv3")(jnp.concatenate([y, y2], -1), train)
+
+
+class C3Ghost(nn.Module):
+    """C3 with GhostBottlenecks (reference block.py C3Ghost)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = int(self.c2 * self.e)
+        y = Conv(c_, 1, 1, name="cv1")(x, train)
+        for i in range(self.n):
+            y = GhostBottleneck(c_, name=f"m_{i}")(y, train)
+        y2 = Conv(c_, 1, 1, name="cv2")(x, train)
+        return Conv(self.c2, 1, name="cv3")(jnp.concatenate([y, y2], -1), train)
+
+
+class BottleneckCSP(nn.Module):
+    """Original CSP bottleneck (reference block.py BottleneckCSP; the BN on
+    the cat uses torch defaults eps 1e-5)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = int(self.c2 * self.e)
+        y = Conv(c_, 1, 1, name="cv1")(x, train)
+        for i in range(self.n):
+            y = Bottleneck(c_, self.shortcut, self.g, e=1.0, name=f"m_{i}")(y, train)
+        y1 = nn.Conv(c_, (1, 1), use_bias=False, name="cv3")(y)
+        y2 = nn.Conv(c_, (1, 1), use_bias=False, name="cv2")(x)
+        cat = jnp.concatenate([y1, y2], -1)
+        cat = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+        )(cat)
+        return Conv(self.c2, 1, 1, name="cv4")(nn.silu(cat), train)
+
+
+class ResNetBlock(nn.Module):
+    """Bottleneck ResNet block (reference block.py ResNetBlock)."""
+
+    c2: int
+    s: int = 1
+    e: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c3 = self.e * self.c2
+        y = Conv(self.c2, 1, 1, name="cv1")(x, train)
+        y = Conv(self.c2, 3, self.s, 1, name="cv2")(y, train)
+        y = Conv(c3, 1, act=False, name="cv3")(y, train)
+        if self.s != 1 or x.shape[-1] != c3:
+            sc = Conv(c3, 1, self.s, act=False, name="shortcut_0")(x, train)
+        else:
+            sc = x
+        return nn.relu(y + sc)
+
+
+class ResNetLayer(nn.Module):
+    """Stack of ResNet blocks / stem (reference block.py ResNetLayer)."""
+
+    c2: int
+    s: int = 1
+    is_first: bool = False
+    n: int = 1
+    e: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.is_first:
+            x = Conv(self.c2, 7, 2, 3, name="layer_0")(x, train)
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2))
+            return x
+        x = ResNetBlock(self.c2, self.s, self.e, name="layer_0")(x, train)
+        for i in range(1, self.n):
+            x = ResNetBlock(self.c2, 1, self.e, name=f"layer_{i}")(x, train)
+        return x
+
+
+class ConvTransposeBlock(nn.Module):
+    """ConvTranspose2d + BN + SiLU (reference conv.py ConvTranspose)."""
+
+    c2: int
+    k: int = 2
+    s: int = 2
+    p: int = 0
+    bn: bool = True
+    act: Any = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # torch ConvTranspose2d: out = (H-1)*s - 2p + k; flax VALID gives
+        # (H-1)*s + k, so crop p from each side
+        x = nn.ConvTranspose(
+            self.c2, (self.k, self.k), strides=(self.s, self.s),
+            padding="VALID", use_bias=not self.bn,
+            transpose_kernel=True, name="conv_transpose",
+        )(x)
+        if self.p:
+            x = x[:, self.p : -self.p, self.p : -self.p]
+        if self.bn:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+            )(x)
+        return apply_act(x, self.act)
+
+
+class ChannelAttention(nn.Module):
+    """Squeeze-excite-style channel gate (reference conv.py ChannelAttention)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        p = x.mean(axis=(1, 2), keepdims=True)
+        g = nn.Conv(x.shape[-1], (1, 1), use_bias=True, name="fc")(p)
+        return x * jax.nn.sigmoid(g)
+
+
+class SpatialAttention(nn.Module):
+    """Mean/max-pool spatial gate (reference conv.py SpatialAttention)."""
+
+    kernel_size: int = 7
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        pad = 3 if self.kernel_size == 7 else 1
+        s = jnp.concatenate(
+            [x.mean(-1, keepdims=True), x.max(-1, keepdims=True)], -1
+        )
+        g = nn.Conv(
+            1, (self.kernel_size, self.kernel_size),
+            padding=[(pad, pad), (pad, pad)], use_bias=False, name="cv1",
+        )(s)
+        return x * jax.nn.sigmoid(g)
+
+
+class CBAM(nn.Module):
+    """Convolutional block attention (reference conv.py CBAM)."""
+
+    kernel_size: int = 7
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = ChannelAttention(name="channel_attention")(x)
+        return SpatialAttention(self.kernel_size, name="spatial_attention")(x)
+
+
+class C3TR(nn.Module):
+    """C3 with a TransformerBlock inner (reference block.py C3TR)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from .transformer import TransformerBlock
+
+        c_ = int(self.c2 * self.e)
+        y = Conv(c_, 1, 1, name="cv1")(x, train)
+        y = TransformerBlock(c_, 4, self.n, name="m")(y, train)
+        y2 = Conv(c_, 1, 1, name="cv2")(x, train)
+        return Conv(self.c2, 1, name="cv3")(jnp.concatenate([y, y2], -1), train)

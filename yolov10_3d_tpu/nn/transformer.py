@@ -229,3 +229,47 @@ class DeformableTransformerDecoderLayer(nn.Module):
         ffn = nn.Dense(self.d_ffn, name="linear1")(embed)
         ffn = nn.Dense(self.d_model, name="linear2")(nn.relu(ffn))
         return nn.LayerNorm(epsilon=1e-5, name="norm3")(embed + ffn)
+
+
+class TransformerLayer(nn.Module):
+    """LayerNorm-free ViT layer (reference nn/modules/transformer.py:13
+    TransformerLayer): q/k/v linears into torch-layout MHA + 2-linear FFN,
+    both residual. Operates batch-first (B, L, C)."""
+
+    c: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        q = nn.Dense(self.c, use_bias=False, name="q")(x)
+        k = nn.Dense(self.c, use_bias=False, name="k")(x)
+        v = nn.Dense(self.c, use_bias=False, name="v")(x)
+        x = MultiheadAttention(self.c, self.num_heads, name="ma")(q, k, v) + x
+        y = nn.Dense(self.c, use_bias=False, name="fc1")(x)
+        return nn.Dense(self.c, use_bias=False, name="fc2")(y) + x
+
+
+class TransformerBlock(nn.Module):
+    """ViT block over a feature map (reference transformer.py:41
+    TransformerBlock): optional 1x1 Conv, learned positional linear, stacked
+    TransformerLayers. NHWC in/out."""
+
+    c2: int
+    num_heads: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from .modules import Conv
+
+        if x.shape[-1] != self.c2:
+            x = Conv(self.c2, name="conv")(x, train)
+        B, H, W, C = x.shape
+        # torch flattens (B,C,H,W).flatten(2) -> row-major H*W tokens and
+        # reshapes back the same way (its `w, h` unpack is mislabeled but
+        # self-consistent), so a plain reshape matches
+        p = x.reshape(B, H * W, C)
+        p = p + nn.Dense(self.c2, name="linear")(p)
+        for i in range(self.num_layers):
+            p = TransformerLayer(self.c2, self.num_heads, name=f"tr_{i}")(p)
+        return p.reshape(B, H, W, C)
