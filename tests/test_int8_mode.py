@@ -1,0 +1,46 @@
+"""Experimental int8 serving mode: same param tree, bounded quantization
+error, trace-time static switch."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from yolov10_3d_tpu.nn import modules as M
+from yolov10_3d_tpu.nn.build import build_model
+
+
+def test_int8_mode_outputs_close():
+    model, spec = build_model("yolov10_3d_tpu/cfg/models/v10/yolov10n.yaml",
+                              fast_eval=True)
+    x = jnp.asarray(np.random.default_rng(0).uniform(size=(1, 64, 64, 3)), jnp.float32)
+    v = jax.jit(model.init, static_argnames="train")(jax.random.PRNGKey(0), x, train=False)
+    ref = jax.jit(lambda v: model.apply(v, x, train=False))(v)
+
+    M.set_int8_mode(True, act_scale=None)  # dynamic quant: tightest scales
+    try:
+        model8, _ = build_model("yolov10_3d_tpu/cfg/models/v10/yolov10n.yaml",
+                                fast_eval=True)
+        got = jax.jit(lambda v: model8.apply(v, x, train=False))(v)  # same tree
+    finally:
+        M.set_int8_mode(False)
+
+    for a, b in zip(jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(got)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
+        assert np.isfinite(b).all()
+        assert rel < 0.15, rel  # random-init nets quantize worst-case
+
+
+def test_int8_conv_matches_fp_at_exact_grid():
+    """Exact when both scales land values on the int8 grid: activations are
+    integers with act_scale=1; each weight out-channel has max |w| == 127 so
+    the per-channel scale is exactly 1."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.integers(-127, 128, (2, 8, 8, 4)), jnp.float32)
+    w_np = rng.integers(-126, 127, (3, 3, 4, 6)).astype(np.float32)
+    w_np[0, 0, 0, :] = 127.0  # pin per-out-channel max
+    w = jnp.asarray(w_np)
+    want = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = M.int8_conv(x, w, (1, 1), ((1, 1), (1, 1)), act_scale=1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-2)
