@@ -198,3 +198,93 @@ def test_native_cpp_iou_matches_numpy():
     )
     out3d = iou_3d(g, g)
     np.testing.assert_allclose(np.diag(out3d), np.ones(20), atol=1e-4)
+
+
+def _write_noisy_scene(tmp, n_imgs=10):
+    """Detections with jittered 3D pose so the rotated/3D IoU actually
+    discriminates (some above, some below the 0.7/0.5 thresholds)."""
+    gt_dir = tmp / "label_2n"
+    det_dir = tmp / "predsn"
+    gt_dir.mkdir(parents=True, exist_ok=True)
+    det_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(7)
+    for i in range(n_imgs):
+        gt_lines, det_lines = [], []
+        for j in range(5):
+            x = float(rng.uniform(-10, 10))
+            z = float(rng.uniform(10, 40))
+            ry = float(rng.uniform(-math.pi, math.pi))
+            h, w, l = 1.5, 1.6, 3.9
+            x1, y1 = 80 + j * 150, 150
+            x2, y2 = x1 + 80, y1 + 60
+            gt_lines.append(
+                f"Car 0.0 0 0.0 {x1} {y1} {x2} {y2} {h} {w} {l} {x} {1.6} {z} {ry}"
+            )
+            # jittered detection (sometimes large jitter -> miss)
+            jit = rng.uniform(0.02, 0.9)
+            score = float(rng.uniform(0.3, 0.99))
+            det_lines.append(
+                f"Car 0.0 0 0.0 {x1 + jit * 20:.2f} {y1} {x2 + jit * 20:.2f} {y2} "
+                f"{h} {w} {l} {x + jit:.3f} {1.6} {z + jit:.3f} {ry + jit * 0.3:.4f} {score}"
+            )
+        (gt_dir / f"{i:06d}.txt").write_text("\n".join(gt_lines) + "\n")
+        (det_dir / f"{i:06d}.txt").write_text("\n".join(det_lines) + "\n")
+    return gt_dir, det_dir
+
+
+def test_bev_and_3d_ap_parity_with_reference(tmp_path, monkeypatch):
+    """The reference's bev/3d paths need its numba-CUDA rotated IoU; inject
+    our (brute-force- and C++-validated) rotated intersection in its place and
+    compare the FULL reference statistics pipeline on the bev and 3d metrics."""
+    from _oracle import load_reference
+
+    load_reference()
+    from ultralytics.data.datasets import kitti_eval as ref_eval
+
+    from yolov10_3d_tpu.eval.kitti_eval import bev_iou, rotated_intersection_area
+
+    def fake_rotate_iou(boxes, qboxes, criterion=-1, device_id=0):
+        boxes = np.asarray(boxes, np.float64)
+        qboxes = np.asarray(qboxes, np.float64)
+        if len(boxes) == 0 or len(qboxes) == 0:
+            return np.zeros((len(boxes), len(qboxes)), np.float32)
+        if criterion in (-1, 0, 1):
+            return bev_iou(boxes, qboxes, criterion).astype(np.float32)
+        return rotated_intersection_area(boxes, qboxes).astype(np.float32)
+
+    monkeypatch.setattr(ref_eval, "rotate_iou_gpu_eval", fake_rotate_iou)
+
+    gt_dir, det_dir = _write_noisy_scene(tmp_path)
+
+    import os
+    all_gt, all_det = [], []
+    for f in sorted(os.listdir(det_dir)):
+        gt_f = np.loadtxt(gt_dir / f, dtype=str).reshape(-1, 15)
+        det_f = np.loadtxt(det_dir / f, dtype=str).reshape(-1, 16)
+        def parse(a, score=False):
+            d = {
+                "bbox": a[:, 4:8].astype(np.float32),
+                "alpha": a[:, 3].astype(np.float32),
+                "occluded": a[:, 2].astype(np.float32),
+                "truncated": a[:, 1].astype(np.float32),
+                "name": a[:, 0],
+                "location": a[:, 11:14].astype(np.float32),
+                "dimensions": a[:, [10, 8, 9]].astype(np.float32),
+                "rotation_y": a[:, 14].astype(np.float32),
+            }
+            if score:
+                d["score"] = a[:, 15].astype(np.float32)
+            return d
+        all_gt.append(parse(gt_f))
+        all_det.append(parse(det_f, score=True))
+
+    ours = eval_from_scratch(str(gt_dir), str(det_dir), ap_mode=40, classes=["car"])
+    ref_eval.AP_mode = 40
+    for metric, key, ov in ((1, "bev@0.70", 0.7), (2, "3d@0.70", 0.7)):
+        rets = ref_eval.eval_class_v3(
+            all_gt, all_det, current_classes=[0], difficultys=[0, 1, 2],
+            metric=metric, min_overlaps=np.full((1, 3, 1), ov),
+            num_parts=1,
+        )
+        ref_ap = rets["precision"][0, :, 0][:, 1:41].sum(-1) / 40 * 100
+        np.testing.assert_allclose(np.array(ours[key]), ref_ap, atol=0.5)
