@@ -79,3 +79,39 @@ def test_dp8_matches_single_device():
     flat8 = jax.tree.leaves(s8.params)
     err = max(float(jnp.abs(a - b).max()) for a, b in zip(flat1, flat8))
     assert err < 1e-4, err
+
+
+def test_spatial_sharding_matches_single_device():
+    """(dp=2, sp=4) image-height sharding: XLA's automatic halo exchanges
+    must reproduce the single-device forward exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolov10_3d_tpu.nn.build import build_model
+    from yolov10_3d_tpu.parallel.mesh import (
+        get_mesh_2d, make_spatial_eval_step, spatial_batch_sharding,
+    )
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    model, spec = build_model(
+        "yolov10_3d_tpu/cfg/models/v10/yolov10n.yaml", fast_eval=True
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(2, 128, 128, 3)), jnp.float32
+    )
+    v = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x, train=False
+    )
+    ref = jax.jit(lambda v, x: model.apply(v, x, train=False)["one2one"])(v, x)
+
+    mesh = get_mesh_2d(2, 4)
+    fn = make_spatial_eval_step(
+        lambda v, xx: model.apply(v, xx, train=False)["one2one"], mesh
+    )
+    got = fn(v, jax.device_put(x, spatial_batch_sharding(mesh)))
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-6)

@@ -60,3 +60,28 @@ def make_parallel_train_step(train_step, mesh: Mesh, axis: str = "dp"):
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
+
+
+def get_mesh_2d(dp: int, sp: int) -> Mesh:
+    """2-D (dp, sp) mesh: data parallel x spatial parallel. The sp axis
+    shards image HEIGHT; XLA inserts the conv halo exchanges over ICI
+    automatically from sharding propagation — useful for huge images or
+    small per-chip batches where dp alone underfills the chips."""
+    devs = jax.devices()[: dp * sp]
+    return Mesh(np.array(devs).reshape(dp, sp), ("dp", "sp"))
+
+
+def spatial_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, H, W, C) images: batch over dp, height over sp."""
+    return NamedSharding(mesh, P("dp", "sp"))
+
+
+def make_spatial_eval_step(apply_fn, mesh: Mesh):
+    """jit an eval forward with images sharded (dp, sp) and state
+    replicated; outputs replicated."""
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        apply_fn,
+        in_shardings=(rep, spatial_batch_sharding(mesh)),
+        out_shardings=rep,
+    )
