@@ -22,6 +22,74 @@ def apply_model(model, variables, x):
     return _jitted_apply(model)(variables, x)
 
 
+def make_kitti_tree(root, n_images: int = 8, with_seg: bool = False, seed: int = 0):
+    """Synthetic KITTI tree: images + plausible Car labels + calib + split
+    files; optional deepseg instance masks (pixel = label row index,
+    background 51) for the FGDM depth-map path."""
+    import math
+    from pathlib import Path
+
+    import cv2
+    import numpy as np
+
+    root = Path(root)
+    (root / "training" / "image_2").mkdir(parents=True, exist_ok=True)
+    (root / "training" / "label_2").mkdir(parents=True, exist_ok=True)
+    (root / "training" / "calib").mkdir(parents=True, exist_ok=True)
+    (root / "ImageSets").mkdir(exist_ok=True)
+    if with_seg:
+        (root / "deepseg" / "training" / "image_2").mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    P2 = (
+        "7.215377e+02 0.000000e+00 6.095593e+02 4.485728e+01 0.000000e+00 "
+        "7.215377e+02 1.728540e+02 2.163791e-01 0.000000e+00 0.000000e+00 "
+        "1.000000e+00 2.745884e-03"
+    )
+    ids = []
+    for i in range(n_images):
+        img = rng.uniform(0, 255, (375, 1242, 3)).astype(np.uint8)
+        seg = np.full((375, 1242), 51, np.uint8)
+        lines = []
+        for j in range(3):
+            x = float(rng.uniform(-8, 8))
+            z = float(rng.uniform(8, 40))
+            y = 1.65
+            h, w, l = 1.5, 1.65, 3.9
+            ry = float(rng.uniform(-math.pi, math.pi))
+            u = 721.5377 * x / z + 609.5593
+            v = 721.5377 * (y - h / 2) / z + 172.854
+            bw = 721.5377 * l / z
+            bh = 721.5377 * h / z
+            x1, y1 = max(u - bw / 2, 0), max(v - bh / 2, 0)
+            x2, y2 = min(u + bw / 2, 1241), min(v + bh / 2, 374)
+            if x2 - x1 < 10 or y2 - y1 < 10:
+                continue
+            seg[int(y1) : int(y2), int(x1) : int(x2)] = len(lines)
+            alpha = ry - math.atan2(u - 609.5593, 721.5377)
+            lines.append(
+                f"Car 0.0 0 {alpha:.2f} {x1:.2f} {y1:.2f} {x2:.2f} {y2:.2f} "
+                f"{h:.2f} {w:.2f} {l:.2f} {x:.2f} {y:.2f} {z:.2f} {ry:.2f}"
+            )
+        cv2.imwrite(str(root / "training" / "image_2" / f"{i:06d}.png"), img)
+        (root / "training" / "label_2" / f"{i:06d}.txt").write_text("\n".join(lines) + "\n")
+        (root / "training" / "calib" / f"{i:06d}.txt").write_text(
+            f"P2: {P2}\nR0_rect: 1 0 0 0 1 0 0 0 1\nTr_velo_to_cam: 1 0 0 0 0 1 0 0 0 0 1 0\n"
+        )
+        if with_seg:
+            cv2.imwrite(
+                str(root / "deepseg" / "training" / "image_2" / f"{i:06d}_seg.png"), seg
+            )
+        ids.append(f"{i:06d}")
+    (root / "ImageSets" / "train.txt").write_text("\n".join(ids) + "\n")
+    (root / "ImageSets" / "val.txt").write_text("\n".join(ids[:4]) + "\n")
+    yaml_path = root / "kitti_mini.yaml"
+    yaml_path.write_text(
+        f"path: {root}\ntrain: ImageSets/train.txt\nval: ImageSets/val.txt\n"
+        "names:\n  0: Car\n  1: Pedestrian\n  2: Cyclist\n"
+    )
+    return yaml_path
+
+
 @functools.lru_cache(maxsize=None)
 def build_jax(scale: str, h: int = 64, w: int = 64):
     """Build flax model + init variables (jitted init, cached per scale)."""

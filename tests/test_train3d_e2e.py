@@ -1,0 +1,203 @@
+"""End-to-end 3D training: synthetic mini-KITTI -> Detection3DTrainer with
+the 3D validator wired into per-epoch val (AP40 fitness), best.ckpt by 3D
+fitness, resume, Model.val() 3D dispatch, and the HTL/FGDM/distill hooks
+(reference models/yolov10_3D/train.py + val.py:183, trainer.py:349-358,
+445-447)."""
+
+import csv
+import math
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from _helpers import make_kitti_tree
+
+RES = [320, 96]  # W, H — small KITTI input for CPU tests (kitti_resolution)
+
+
+@pytest.fixture(scope="module")
+def kitti3d_yaml(tmp_path_factory):
+    try:
+        import cv2  # noqa: F401
+    except ImportError:
+        pytest.skip("cv2 required")
+    return make_kitti_tree(tmp_path_factory.mktemp("kitti3d"), n_images=8, with_seg=True)
+
+
+def _train_args(yaml_path, save_dir, **over):
+    args = dict(
+        data=str(yaml_path),
+        epochs=2,
+        batch=8,
+        imgsz=RES,
+        kitti_resolution=RES,
+        workers=2,
+        val_period=1,
+        amp=False,
+        save_dir=str(save_dir),
+        patience=100,
+        warmup_epochs=0.0,
+        mixup=0.0,
+        random_crop=0.0,
+        close_mosaic=0,
+        max_depth_threshold=60.0,
+    )
+    args.update(over)
+    return args
+
+
+def test_train3d_e2e_and_resume(kitti3d_yaml, tmp_path):
+    """2 epochs of YOLOv10_3D training must produce 3D-AP fitness per epoch,
+    best.ckpt, and a working 3D Model.val(); then resume extends training."""
+    from yolov10_3d_tpu import YOLOv10_3D
+
+    run = tmp_path / "run3d"
+    model = YOLOv10_3D("yolov10n_3D.yaml")
+    assert model.task == "detect3d"
+    state = model.train(**_train_args(kitti3d_yaml, run))
+    assert state is not None
+    assert (run / "weights" / "last.ckpt").exists()
+    assert (run / "weights" / "best.ckpt").exists()
+
+    with open(run / "results.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2
+    # per-epoch val ran through Detection3DValidator: AP40 fitness column
+    assert "metrics/3D" in rows[0], f"columns: {list(rows[0])}"
+    assert all(math.isfinite(float(r["metrics/3D"])) for r in rows)
+    # 3D loss terms are epoch means and finite
+    for term in ("box2d_om", "dep_om", "hd_oo", "s3d_oo"):
+        assert term in rows[0]
+        assert all(math.isfinite(float(r[term])) for r in rows)
+    # KITTI txt predictions were written by the validator
+    assert (run / "val" / "preds" / "000000.txt").exists()
+
+    # -- Model.val() dispatches to the 3D validator (VERDICT weak #1) --
+    m2 = YOLOv10_3D(str(run / "weights" / "last.ckpt"))
+    assert m2.task == "detect3d"
+    out = m2.val(
+        data=str(kitti3d_yaml), batch=4, kitti_resolution=RES,
+        save_dir=str(tmp_path / "val3d"),
+    )
+    assert "metrics/3D" in out and np.isfinite(out["metrics/3D"])
+    assert out["fitness"] == out["metrics/3D"]
+
+    # -- resume: third epoch continues from last.ckpt --
+    model3 = YOLOv10_3D("yolov10n_3D.yaml")
+    state3 = model3.train(**_train_args(kitti3d_yaml, run, epochs=3, resume=True))
+    assert int(state3.step) == 3  # 1 step/epoch x 3 epochs total
+    with open(run / "results.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert int(float(rows[-1]["epoch"])) == 2
+
+
+def test_train3d_htl_fgdm(kitti3d_yaml, tmp_path):
+    """HTL weighting + FGDM depth-map loss both flow through the jitted 3D
+    train step and produce finite extra terms."""
+    import yaml as pyyaml
+
+    from yolov10_3d_tpu.cfg import get_cfg
+    from yolov10_3d_tpu.engine.trainer3d import Detection3DTrainer
+
+    # model yaml with the DepthPredictor enabled
+    src = Path("yolov10_3d_tpu/cfg/models/v10-3D/yolov10n_3D.yaml")
+    d = pyyaml.safe_load(src.read_text())
+    d["fgdm_predictor"] = True
+    fgdm_yaml = tmp_path / "yolov10n_3D_fgdm.yaml"
+    fgdm_yaml.write_text(pyyaml.safe_dump(d, sort_keys=False))
+
+    run = tmp_path / "run_htl"
+    cfg = get_cfg(None, {
+        **_train_args(kitti3d_yaml, run, epochs=2, val_period=10, val=False),
+        "model": str(fgdm_yaml),
+        "htl": True,
+        "load_depth_maps": True,
+        "fgdm_loss": True,
+    })
+    trainer = Detection3DTrainer(cfg)
+    trainer.train()
+    with open(run / "results.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert "fgdm" in rows[0] and all(math.isfinite(float(r["fgdm"])) for r in rows)
+    # HTL: weights were computed and the run stayed finite
+    assert hasattr(trainer, "_htl")
+    w = trainer._htl_weights
+    assert w.shape == (12,) and np.all(np.isfinite(w)) and w.sum() == pytest.approx(6.0, rel=1e-3)
+    assert all(math.isfinite(float(rows[-1][t])) for t in ("box2d_om", "dep_oo"))
+
+
+def test_train3d_distillation(kitti3d_yaml, tmp_path):
+    """Teacher-pluggable distillation produces a finite 'dis' term
+    (reference loss.py:754-767 SupervisionLoss wiring)."""
+    from yolov10_3d_tpu.cfg import get_cfg
+    from yolov10_3d_tpu.engine.trainer3d import Detection3DTrainer
+
+    run = tmp_path / "run_dis"
+    cfg = get_cfg(None, {
+        **_train_args(kitti3d_yaml, run, epochs=1, val_period=10, val=False),
+        "model": "yolov10_3d_tpu/cfg/models/v10-3D/yolov10n_3D.yaml",
+        "distillation": True,
+    })
+    trainer = Detection3DTrainer(cfg)
+    rng = np.random.default_rng(0)
+    # teacher features are dimension-matched to the depth-head embeddings
+    # (the reference's DINO depth head emits the same width, dino.py:70-139)
+    feat = rng.standard_normal((8, 12, 40, 128)).astype(np.float32)
+    trainer.teacher = lambda imgs: feat[: imgs.shape[0]]
+    trainer.train()
+    with open(run / "results.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert "dis" in rows[0] and math.isfinite(float(rows[0]["dis"]))
+
+
+def test_htl_weights_reference_semantics():
+    """HTL: root terms weight 1.5 initially (normalized x6/12), dependent
+    terms ramp toward 1 as predecessors plateau (reference htl.py:24-57)."""
+    from yolov10_3d_tpu.train.htl import HierarchicalTaskLearning, ITEM_KEYS
+
+    htl = HierarchicalTaskLearning(stat_epoch_nums=5, max_epochs=20)
+    w0 = htl.compute_weight(np.ones(12), 0)
+    assert w0.sum() == pytest.approx(6.0, rel=1e-4)
+    roots = [ITEM_KEYS.index(k) for k in ("box2d_om", "cls_om", "box2d_oo", "cls_oo")]
+    for i in range(12):
+        if i in roots:
+            assert w0[i] == pytest.approx(1.5, rel=1e-4)
+        else:
+            assert w0[i] == 0.0
+
+    # feed 5 epochs of plateaued losses -> dependent terms get weight
+    losses = np.ones(12)
+    w = None
+    for e in range(1, 12):
+        w = htl.compute_weight(losses, e)
+    dep_i = ITEM_KEYS.index("dep_om")
+    assert w[dep_i] > 0.0
+    assert np.all(np.isfinite(w)) and w.sum() == pytest.approx(6.0, rel=1e-4)
+
+
+def test_kitti_depth_map_targets(kitti3d_yaml):
+    """load_depth_maps produces per-pixel foreground depth targets that
+    match the GT depths inside instances and 0 on background
+    (reference kitti.py:286-287,409-419)."""
+    from types import SimpleNamespace
+
+    from yolov10_3d_tpu.data.kitti import KITTIDataset
+
+    root = Path(str(kitti3d_yaml)).parent
+    args = SimpleNamespace(
+        load_depth_maps=True, kitti_resolution=RES, fliplr=0.0, random_crop=0.0,
+        mixup=0.0, max_depth_threshold=60.0,
+    )
+    ds = KITTIDataset(root, split="train", args=args)
+    s = ds[0]
+    assert "depth_map" in s and s["depth_map"].shape == (RES[1], RES[0])
+    dm = s["depth_map"]
+    fg = dm > 0
+    assert fg.any(), "expected some foreground depth pixels"
+    # every foreground depth equals one of the GT object depths
+    gt_depths = s["gt_depth"][s["mask_gt"]]
+    uniq = np.unique(dm[fg])
+    for u in uniq:
+        assert np.min(np.abs(gt_depths - u)) < 1e-5
+    assert (dm <= 60.0).all()

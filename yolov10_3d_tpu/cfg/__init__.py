@@ -46,7 +46,7 @@ CFG_BOOL_KEYS = {
     "tal_2d", "tal_3d", "constrain_anchors", "htl", "overfit",
     "distillation", "load_depth_maps", "fgdm_loss", "fgdm_supervision",
     "use_o2m_depth", "use_dino_depth", "plot_labels", "pretrained_backbone",
-    "cam_dis", "amp", "stream_buffer",
+    "cam_dis", "amp", "stream_buffer", "device_preprocess", "device_aug",
 }
 
 

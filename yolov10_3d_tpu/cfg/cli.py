@@ -91,6 +91,15 @@ def entrypoint(argv=None) -> int:
         print({k: round(v, 5) for k, v in res.items() if isinstance(v, float)})
         return 0
     if mode == "train":
+        # auto-resume when the run dir already has a last.ckpt (the fork's
+        # SLURM-preemption recovery, reference cfg/__init__.py:537-542)
+        from pathlib import Path
+
+        save_dir = Path(str(kv.get("save_dir", "runs/train")))
+        last = save_dir / "weights" / "last.ckpt"
+        if "resume" not in kv and last.exists():
+            print(f"resuming from existing checkpoint {last}")
+            kv["resume"] = True
         model.train(**kv)
         return 0
     if mode == "export":

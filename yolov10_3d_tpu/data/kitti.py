@@ -33,10 +33,16 @@ class KITTIDataset:
     """root: the KITTI root containing training/{image_2,label_2,calib} and
     ImageSets/{train,val,trainval,test}.txt, OR a split file path directly."""
 
+    # class-level defaults so JSON subclasses (Waymo/Omni3D) that build their
+    # own __init__ inherit a disabled FGDM depth-map path
+    load_depth_maps = False
+    depth_dir = None
+
     def __init__(self, root, split: str = "train", args=None, max_objs: int = MAX_OBJS):
         get = (lambda k, d: getattr(args, k, d) if args is not None else d)
         self.max_objs = max_objs
-        self.resolution = RESOLUTION.copy()
+        res = get("kitti_resolution", None)
+        self.resolution = np.array(res) if res else RESOLUTION.copy()
         self.cls_mean_size = CLS_MEAN_SIZE.copy()
         self.writelist = list(CLASS_NAMES)
         self.use_camera_dis = bool(get("cam_dis", False))
@@ -66,6 +72,14 @@ class KITTIDataset:
         self.calib_dir = self.data_dir / "calib"
         self.label_dir = self.data_dir / "label_2"
         self.augmenting = split in ("train", "trainval")
+        # per-pixel instance-segmentation masks for FGDM depth-map targets
+        # (reference kitti.py:54-55,87-90: deepseg/training/image_2/*_seg.png)
+        self.load_depth_maps = bool(get("load_depth_maps", False)) and split != "test"
+        self.depth_dir = root / "deepseg" / "training" / "image_2"
+        if self.load_depth_maps and not self.depth_dir.exists():
+            raise FileNotFoundError(
+                f"load_depth_maps=True but no segmentation dir at {self.depth_dir}"
+            )
 
     def __len__(self):
         return len(self.idx_list)
@@ -85,6 +99,13 @@ class KITTIDataset:
 
     def get_calib(self, idx: int) -> Calibration:
         return Calibration(self.calib_dir / f"{idx:06d}.txt")
+
+    def get_segmentation(self, idx: int):
+        """Instance-index mask image: pixel value = the object's label-file
+        row (line_index); background 51 (reference kitti.py:87-90)."""
+        from PIL import Image
+
+        return Image.open(self.depth_dir / f"{idx:06d}_seg.png")
 
     def sample_id(self, item: int) -> int:
         return int(self.idx_list[item])
@@ -114,12 +135,17 @@ class KITTIDataset:
         scale = 1.0
         random_flip_flag = random_crop_flag = random_mix_flag = False
 
+        seg_mask = self.get_segmentation(index) if self.load_depth_maps else None
+        seg_mask_tmp = None
+
         if self.augmenting:
             if rng.random() < 0.5 and self.mixup:
                 random_mix_flag = True
             if rng.random() < self.random_flip:
                 random_flip_flag = True
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
+                if seg_mask is not None:
+                    seg_mask = seg_mask.transpose(Image.FLIP_LEFT_RIGHT)
             if rng.random() < self.random_crop:
                 random_crop_flag = True
                 var = (self.max_scale - self.min_scale) / 2
@@ -142,8 +168,12 @@ class KITTIDataset:
                     img_tmp = self.get_image(cand)
                     if tuple(np.array(img_tmp.size)) == tuple(img_size.astype(int)):
                         if len(self.get_label(index)) + len(self.get_label(cand)) < self.max_objs:
+                            if self.load_depth_maps:
+                                seg_mask_tmp = self.get_segmentation(cand)
                             if random_flip_flag:
                                 img_tmp = img_tmp.transpose(Image.FLIP_LEFT_RIGHT)
+                                if seg_mask_tmp is not None:
+                                    seg_mask_tmp = seg_mask_tmp.transpose(Image.FLIP_LEFT_RIGHT)
                             img = Image.blend(img, img_tmp, alpha=0.5)
                             random_mix_flag = True
                             mix_index = cand
@@ -156,7 +186,26 @@ class KITTIDataset:
             data=tuple(trans_inv.reshape(-1).tolist()),
             resample=Image.BILINEAR,
         )
-        img_np = np.asarray(img, np.float32) / 255.0  # HWC
+        img_np = np.asarray(img, np.uint8)  # HWC; device normalizes (/255)
+
+        def _warp_seg(seg):
+            # NEAREST warp, fill 51 = background sentinel (kitti.py:206-216)
+            return np.asarray(
+                seg.transform(
+                    tuple(self.resolution.tolist()),
+                    method=Image.AFFINE,
+                    data=tuple(trans_inv.reshape(-1).tolist()),
+                    resample=Image.NEAREST,
+                    fillcolor=51,
+                )
+            )
+
+        seg_arrays = None
+        if self.load_depth_maps:
+            seg_arrays = [_warp_seg(seg_mask)]
+            if seg_mask_tmp is not None:
+                seg_arrays.append(_warp_seg(seg_mask_tmp))
+        depth_maps: List[np.ndarray] = []
 
         M = self.max_objs
         out = {
@@ -233,6 +282,10 @@ class KITTIDataset:
                 depth = obj.pos[-1] * scale
                 if depth > self.max_depth_threshold:
                     continue
+                if seg_arrays is not None:
+                    # per-object foreground depth plane (kitti.py:286-287)
+                    seg = seg_arrays[min(src_i, len(seg_arrays) - 1)]
+                    depth_maps.append(np.where(seg == obj.line_index, depth, 1000.0))
 
                 heading_angle = use_calib.ry2alpha(obj.ry, (obj.box2d[0] + obj.box2d[2]) / 2)
                 if heading_angle > math.pi:
@@ -267,6 +320,16 @@ class KITTIDataset:
                 count += 1
                 if count >= self.max_objs:
                     break
+
+        if self.load_depth_maps:
+            # min-composite the per-object planes; out-of-range -> background
+            # (reference kitti.py:409-419)
+            if depth_maps:
+                dm = np.minimum.reduce(depth_maps)
+                dm = np.where(dm > self.max_depth_threshold, 0.0, dm)
+            else:
+                dm = np.zeros(seg_arrays[0].shape, np.float64)
+            out["depth_map"] = dm.astype(np.float32)
         return out
 
     def close_mosaic(self):

@@ -110,4 +110,38 @@ class WaymoDataset(KITTIDataset):
             (gt_dir / f"{idx:06d}.txt").write_text("\n".join(lines) + ("\n" if lines else ""))
         pred_dir = self.save_results(results, save_dir)
         result = eval_from_scratch(str(gt_dir), pred_dir, ap_mode=40)
+
+        # Waymo-protocol metrics alongside (numpy re-implementation of the
+        # proto config: Hungarian 3D-IoU matching, AP/APH, range breakdowns —
+        # eval/waymo_eval.py); fitness stays the KITTI-protocol AP40 for
+        # continuity with earlier rounds, the protocol numbers are logged.
+        try:
+            from ..eval.waymo_eval import kitti_rows_to_frames, waymo_detection_metrics
+            from .kitti_utils import CLS2ID
+
+            gt_frames = {}
+            for item in range(len(self)):
+                idx = self.sample_id(item)
+                objs = [o for o in self.get_label(idx) if o.cls_type in self.writelist]
+                gt_frames[idx] = {
+                    "boxes7": np.array(
+                        [[o.pos[0], o.pos[1], o.pos[2], o.l, o.h, o.w, o.ry] for o in objs],
+                        np.float64,
+                    ).reshape(-1, 7),
+                    "type": np.array([CLS2ID[o.cls_type] for o in objs], np.int64),
+                    "difficulty": np.array(
+                        [1 if o.level_str in ("Easy", "Moderate") else 2 for o in objs],
+                        np.int64,
+                    ),
+                }
+            dt_frames = kitti_rows_to_frames(results)
+            self.waymo_metrics = waymo_detection_metrics(gt_frames, dt_frames)
+            from ..utils import LOGGER
+
+            head = {k: round(v, 4) for k, v in self.waymo_metrics.items() if "/AP" in k and "RANGE" not in k}
+            LOGGER.info(f"Waymo-protocol metrics: {head}")
+        except Exception as e:  # protocol metrics must never break val
+            from ..utils import LOGGER
+
+            LOGGER.warning(f"waymo-protocol metrics failed: {e}")
         return result["3d@0.70"][1]

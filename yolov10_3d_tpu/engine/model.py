@@ -121,32 +121,53 @@ class Model:
         return get_cfg(None, merged)
 
     def predict(self, source, stream: bool = False, **kwargs):
+        from ..data.loaders import is_stream_source
         from .predictor import Predictor
 
         args = self._cfg(kwargs)
         pred = Predictor(self.model, self.spec, self.variables, args, self.names)
-        results = pred(
-            source,
-            batch_size=kwargs.get("batch", 1),
+        common = dict(
             conf=kwargs.get("conf"),
             max_det=kwargs.get("max_det"),
             imgsz=kwargs.get("imgsz") or self.overrides.get("imgsz") or 640,
             classes=kwargs.get("classes"),
         )
-        return iter(results) if stream else results
+        if stream or is_stream_source(source):
+            gen = pred.stream(
+                source, vid_stride=kwargs.get("vid_stride", 1), **common
+            )
+            return gen if stream else list(gen)
+        return pred(source, batch_size=kwargs.get("batch", 1), **common)
 
     __call__ = predict
 
     def val(self, data: Optional[str] = None, **kwargs):
+        """Task-dispatched validation (reference task_map ``validator`` slot;
+        3D path per models/yolov10_3D/val.py:183 — fitness is KITTI AP40)."""
         from ..cfg import load_dataset_yaml
-        from ..data.dataset import DataLoader, YOLODataset
-        from .validator import DetectionValidator
+        from ..data.dataset import DataLoader
 
         args = self._cfg({**({"data": data} if data else {}), **kwargs})
         d = load_dataset_yaml(args.data)
+        batch = kwargs.get("batch", 16)
+        if self.task == "detect3d":
+            from .trainer3d import build_3d_dataset
+            from .validator3d import Detection3DValidator
+
+            ds = build_3d_dataset(args.data, Path(d.get("path", ".")) / d["val"], "val", args)
+            loader = DataLoader(ds, batch, shuffle=False, drop_last=False)
+            validator = Detection3DValidator(self.model, self.spec, args, d["names"])
+            return validator(
+                self.variables, ds, loader,
+                save_dir=kwargs.get("save_dir", "runs/val3d"),
+                conf_threshold=kwargs.get("conf", 0.001),
+            )
+        from ..data.dataset import YOLODataset
+        from .validator import DetectionValidator
+
         imgsz = kwargs.get("imgsz", 640)
         ds = YOLODataset(Path(d.get("path", ".")) / d["val"], imgsz=imgsz, augment=False)
-        loader = DataLoader(ds, kwargs.get("batch", 16), shuffle=False, drop_last=False)
+        loader = DataLoader(ds, batch, shuffle=False, drop_last=False)
         validator = DetectionValidator(self.model, self.spec, args, d["names"])
         return validator(self.variables, loader, conf=kwargs.get("conf", 0.001))
 

@@ -27,6 +27,7 @@ from ..parallel.mesh import (
 )
 from ..train.optim import build_optimizer
 from ..train.state import TrainState, eval_variables, make_train_step
+from ..utils import LOGGER
 from ..utils.checkpoint import save_checkpoint
 from .validator import DetectionValidator
 
@@ -74,7 +75,44 @@ class DetectionTrainer:
             fraction=self.args.fraction if mode == "train" else 1.0,
             single_cls=self.args.single_cls,
             seed=self.args.seed,
+            cache=self.args.get("cache") or None,
+            device_aug=bool(self.args.get("device_aug")) and mode == "train",
         )
+
+    def make_preprocess_fn(self, spec):
+        """Device-aug hook fused into the jitted step (ops/device_aug.py);
+        active when args.device_aug and the host aug hyps are XLA-expressible
+        (no rotation/shear/perspective)."""
+        args = self.args
+        if not args.get("device_aug"):
+            return None
+        if any(float(args.get(k, 0.0) or 0.0) for k in ("degrees", "shear", "perspective")):
+            from ..utils import LOGGER
+
+            LOGGER.warning(
+                "device_aug=True ignored: degrees/shear/perspective require the host pipeline"
+            )
+            return None
+        import jax
+
+        from ..ops.device_aug import device_train_augment
+
+        imgsz = args.imgsz
+        hw = (imgsz, imgsz) if isinstance(imgsz, int) else (imgsz[1], imgsz[0])
+        gains = (args.get("hsv_h", 0.015), args.get("hsv_s", 0.7), args.get("hsv_v", 0.4))
+        key = jax.random.PRNGKey(args.seed)
+
+        def preprocess(batch, step):
+            out = device_train_augment(
+                batch["tiles"], batch["tile_labels"], batch["tile_mask"],
+                jax.random.fold_in(key, step),
+                out_hw=hw, crop_hw=hw, max_boxes=batch["tile_labels"].shape[2],
+                hsv_gains=gains, fliplr=float(args.get("fliplr", 0.5)),
+            )
+            return {**{k: v for k, v in batch.items()
+                       if k not in ("tiles", "tile_labels", "tile_mask")}, **out}
+
+        return preprocess
 
     def make_loss(self, spec):
         from ..train.loss import v10_detect_loss
@@ -92,6 +130,33 @@ class DetectionTrainer:
     def make_head_kwargs_fn(self, spec):
         """Optional per-batch extra head inputs (RT-DETR denoising)."""
         return None
+
+    def get_validator(self, names):
+        """Validator factory (reference task_map ``validator`` slot,
+        engine/model.py:816); the 3D trainer swaps in Detection3DValidator."""
+        return DetectionValidator(self.model, self.spec, self.args, names)
+
+    def run_val(self, state, val_ds, batch_size: int) -> Dict[str, float]:
+        """Per-epoch validation (reference trainer.py:445-447). Returns the
+        metrics dict with a ``fitness`` key."""
+        val_loader = DataLoader(
+            val_ds, batch_size, shuffle=False, drop_last=False,
+            num_threads=self.args.workers,
+        )
+        return self.validator(eval_variables(state), val_loader)
+
+    def epoch_batch_extras(self, epoch: int) -> Dict:
+        """Per-epoch arrays merged into every train batch (constant keys so
+        the jitted step never retraces). The 3D trainer injects HTL weights."""
+        return {}
+
+    def transform_batch(self, b: Dict) -> Dict:
+        """Host-side per-batch hook before device transfer (the 3D trainer
+        adds frozen-teacher embeddings for distillation here)."""
+        return b
+
+    def on_epoch_losses(self, items: Dict[str, float]):
+        """Epoch-mean loss terms callback (HTL history in the 3D trainer)."""
 
     def init_params(self, model, spec, variables):
         """Head bias init (reference bias_init); tasks override."""
@@ -152,6 +217,7 @@ class DetectionTrainer:
             compute_dtype=jnp.bfloat16 if args.amp else jnp.float32,
             loss_fn=self.make_loss(spec),
             head_kwargs_fn=self.make_head_kwargs_fn(spec),
+            preprocess_fn=self.make_preprocess_fn(spec),
         )
         state = TrainState.create(variables, tx)
 
@@ -172,9 +238,9 @@ class DetectionTrainer:
         else:
             pstep = jax.jit(step_fn, donate_argnums=0)
 
-        validator = DetectionValidator(model, spec, args, names)
+        self.validator = self.get_validator(names)
         stopper = EarlyStopping(args.patience)
-        best_fitness = 0.0
+        best_fitness = None  # first epoch always writes best.ckpt (trainer.py:448-452)
         csv_path = self.save_dir / "results.csv"
         self.save_dir.mkdir(parents=True, exist_ok=True)
         self.run_callbacks("on_train_start")
@@ -184,44 +250,52 @@ class DetectionTrainer:
             if args.close_mosaic and epoch == epochs - args.close_mosaic:
                 train_ds.close_mosaic()
             self.run_callbacks("on_train_epoch_start")
+            extras = self.epoch_batch_extras(epoch)
             t0 = time.time()
-            agg: Dict[str, float] = {}
+            sums = None  # device-side running sums: no per-step host sync
             nb = 0
             for b in loader:
-                b = {k: jnp.asarray(v) for k, v in b.items()}
+                b = self.transform_batch(b)
+                b = {k: jnp.asarray(v) for k, v in {**b, **extras}.items()}
                 if mesh is not None:
                     b = shard_batch(b, mesh)
                 state, metrics = pstep(state, b)
+                sums = metrics if sums is None else jax.tree.map(jnp.add, sums, metrics)
                 nb += 1
-                if nb % 50 == 0 or nb == 1:
-                    for k, v in metrics.items():
-                        agg[k] = float(v)
             self.state = state
+
+            # epoch means (reference trainer.py:429-433 tloss running mean)
+            agg = (
+                {k: float(v) / nb for k, v in jax.device_get(sums).items()}
+                if sums is not None else {}
+            )
+            if agg and not all(math.isfinite(v) for v in agg.values()):
+                bad = {k: v for k, v in agg.items() if not math.isfinite(v)}
+                LOGGER.warning(
+                    f"non-finite loss terms at epoch {epoch}: {bad} (all terms: {agg})"
+                )  # NaN watch (reference loss.py:954-961)
+            self.on_epoch_losses(agg)
 
             row = {"epoch": epoch, "time": time.time() - t0, **agg,
                    "lr": float(lr_fn(state.step))}
             self.last_metrics = row
             fitness = 0.0
             if val_ds is not None and (epoch + 1) % max(args.val_period, 1) == 0:
-                val_loader = DataLoader(
-                    val_ds, batch, shuffle=False, drop_last=False,
-                    num_threads=args.workers,
-                )
-                results = validator(eval_variables(state), val_loader)
+                results = self.run_val(state, val_ds, batch)
                 fitness = results["fitness"]
                 row.update({k: v for k, v in results.items() if np.isscalar(v)})
             self._write_csv(csv_path, row)
 
             if args.save:
                 meta = {
-                    "epoch": epoch, "best_fitness": best_fitness,
+                    "epoch": epoch, "best_fitness": best_fitness or 0.0,
                     "model_yaml": str(args.model), "nc": nc,
                     "names": {int(k): v for k, v in names.items()},
                     "train_args": {k: v for k, v in args.to_dict().items()
                                    if isinstance(v, (int, float, str, bool, list, type(None)))},
                 }
                 self.save_ckpt(self.save_dir / "weights" / "last.ckpt", state, meta)
-                if fitness > best_fitness:
+                if best_fitness is None or fitness > best_fitness:
                     best_fitness = fitness
                     self.save_ckpt(self.save_dir / "weights" / "best.ckpt", state, meta)
                 if args.save_period > 0 and (epoch + 1) % args.save_period == 0:

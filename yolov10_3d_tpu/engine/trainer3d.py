@@ -56,33 +56,140 @@ class RTDETRTrainer(DetectionTrainer):
         return variables  # detr heads keep their default init
 
 
+def build_3d_dataset(data_name, path, mode: str, args):
+    """Dataset dispatch by data-yaml name (reference yolov10_3D/train.py:20-29)."""
+    name = str(data_name).lower()
+    split = ("train" if mode == "train" else "val")
+    if "kitti" in name:
+        from ..data.kitti import KITTIDataset
+
+        return KITTIDataset(root=path, split=split, args=args)
+    if "waymo" in name:
+        from ..data.waymo import WaymoDataset
+
+        return WaymoDataset(root=path, split=mode, args=args)
+    if "omni" in name:
+        from ..data.omni3d import Omni3Dataset
+
+        return Omni3Dataset(root=path, split=mode, args=args)
+    raise ValueError(f"unknown 3D dataset for {data_name!r}")
+
+
 class Detection3DTrainer(DetectionTrainer):
+    """3D trainer: KITTI-family datasets, dual 3D loss, Detection3DValidator
+    per-epoch val with AP40 fitness (reference models/yolov10_3D/train.py +
+    val.py:183), HTL per-epoch loss weighting (reference trainer.py:349-358),
+    optional FGDM and teacher-pluggable distillation losses.
+    """
+
+    #: optional frozen depth teacher: callable imgs(B,H,W,3 fp32)->(B,Ht,Wt,C)
+    #: np embeddings (the reference hardwires DINOv2 via torch.hub, dino.py:70;
+    #: offline we accept any callable — set trainer.teacher before train())
+    teacher = None
+
     def build_dataset(self, path, mode: str):
-        name = str(self.args.data).lower()
-        if "kitti" in name:
-            from ..data.kitti import KITTIDataset
+        return build_3d_dataset(self.args.data, path, mode, self.args)
 
-            return KITTIDataset(
-                root=path, split="train" if mode == "train" else "val",
-                args=self.args,
+    def get_validator(self, names):
+        from .validator3d import Detection3DValidator
+
+        return Detection3DValidator(self.model, self.spec, self.args, names)
+
+    def run_val(self, state, val_ds, batch_size: int) -> Dict:
+        from ..data.dataset import DataLoader
+        from ..train.state import eval_variables
+
+        val_loader = DataLoader(
+            val_ds, batch_size, shuffle=False, drop_last=False,
+            num_threads=self.args.workers,
+        )
+        return self.validator(
+            eval_variables(state), val_ds, val_loader,
+            save_dir=str(self.save_dir / "val"),
+        )
+
+    # -- HTL (reference trainer.py:349-358,399-400) --
+    def epoch_batch_extras(self, epoch: int) -> Dict:
+        if not getattr(self.args, "htl", False):
+            return {}
+        import numpy as np
+
+        from ..train.htl import HierarchicalTaskLearning, ITEM_KEYS
+
+        if not hasattr(self, "_htl"):
+            self._htl = HierarchicalTaskLearning(max_epochs=int(self.args.epochs))
+            # epoch-0 weights: roots only, normalized (htl.py:28-34)
+            self._htl_weights = self._htl.compute_weight(
+                np.zeros(len(ITEM_KEYS)), 0
             )
-        if "waymo" in name:
-            from ..data.waymo import WaymoDataset
+            self._htl.past_losses.clear()
+        return {"htl_weights": self._htl_weights}
 
-            return WaymoDataset(root=path, split=mode, args=self.args)
-        if "omni" in name:
-            from ..data.omni3d import Omni3Dataset
+    def on_epoch_losses(self, items: Dict):
+        if hasattr(self, "_htl"):
+            from ..train.htl import ITEM_KEYS
 
-            return Omni3Dataset(root=path, split=mode, args=self.args)
-        raise ValueError(f"unknown 3D dataset for {self.args.data!r}")
+            vec = [items.get(k, 0.0) for k in ITEM_KEYS]
+            self._htl_epoch = getattr(self, "_htl_epoch", 0) + 1
+            self._htl_weights = self._htl.compute_weight(vec, self._htl_epoch)
+
+    def transform_batch(self, b: Dict) -> Dict:
+        if self.teacher is not None:
+            import numpy as np
+
+            b = dict(b)
+            b["teacher_embeddings"] = np.asarray(self.teacher(b["img"]))
+        return b
 
     def make_loss(self, spec):
         from ..train.loss3d import detect3d_loss
 
         hyp = self.args.to_dict()
 
+        fgdm_loss_fn = None
+        if hyp.get("fgdm_loss"):
+            import functools
+
+            from ..train.fgdm import foreground_depth_map_loss
+
+            fgdm_loss_fn = functools.partial(
+                foreground_depth_map_loss,
+                depth_min=float(hyp.get("min_depth_threshold", 1.0)),
+                depth_max=float(hyp.get("max_depth_threshold", 120.0)),
+            )
+
+        distill_fn = None
+        if hyp.get("distillation") and self.teacher is not None:
+            import jax.numpy as jnp
+
+            from ..train.distill import supervision_head_loss
+
+            def distill_fn(preds, batch, aux):
+                embs = [e for e in preds["o2m_embs"] if e is not None]
+                pred_emb = jnp.concatenate(
+                    [e.reshape(e.shape[0], -1, e.shape[-1]) for e in embs], axis=1
+                )
+                h, w = batch["img"].shape[1], batch["img"].shape[2]
+                return supervision_head_loss(
+                    batch["teacher_embeddings"].astype(jnp.float32),
+                    pred_emb,
+                    batch["gt_center_3d"],
+                    aux["target_gt_idx"],
+                    aux["fg_mask"],
+                    batch["mask_gt"],
+                    batch["mixed"].astype(bool),
+                    (h, w),
+                    criterion=str(hyp.get("distillation_loss", "soft")),
+                    T=float(hyp.get("distillation_temp", 2.0)),
+                    weight=float(hyp.get("distillation_weight", 0.75)),
+                    no_mixup=bool(hyp.get("distillation_no_mixup", True)),
+                )
+
         def loss_fn(preds, batch):
-            return detect3d_loss(preds, batch, nc=spec.nc, strides=spec.strides, hyp=hyp)
+            return detect3d_loss(
+                preds, batch, nc=spec.nc, strides=spec.strides, hyp=hyp,
+                fgdm_loss_fn=fgdm_loss_fn, distill_fn=distill_fn,
+            )
 
         return loss_fn
 

@@ -29,17 +29,32 @@ class DetectionValidator:
 
         @jax.jit
         def fwd(variables, x):
+            x = x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
             feats = self.model.apply(variables, x, train=False)["one2one"]
             det = v10_detections(feats, spec.strides, spec.nc, max_det=max_det)
             return det["boxes"], det["scores"], det["labels"]
 
         return fwd
 
-    def __call__(self, variables, dataloader, conf: float = 0.001, max_det: int = 300):
+    def __call__(
+        self,
+        variables,
+        dataloader,
+        conf: float = 0.001,
+        max_det: int = 300,
+        save_json_path: Optional[str] = None,
+        dataset=None,
+    ):
         """dataloader yields padded batches {img, gt_labels, gt_bboxes (xywh
-        normalized), mask_gt}. Returns metrics dict (mAP50, mAP50-95, fitness)."""
+        normalized), mask_gt}. Returns metrics dict (mAP50, mAP50-95, fitness).
+
+        save_json_path: write COCO-format predictions.json (reference
+        detect/val.py:276 ``pred_to_json``); boxes are in the letterboxed
+        model frame, image ids from the dataset's file stems when given
+        (int stems become ints, like the reference's COCO id convention)."""
         metrics = DetMetrics(nc=self.spec.nc, names=self.names)
         fwd = self._forward_fn(int(max_det))
+        json_records = [] if save_json_path else None
         for batch in dataloader:
             img = jnp.asarray(batch["img"])
             boxes, scores, labels = (np.asarray(o) for o in fwd(variables, img))
@@ -57,4 +72,20 @@ class DetectionValidator:
                 metrics.process_batch(
                     boxes[b][keep], scores[b][keep], labels[b][keep], gt_xyxy, gt_cls
                 )
+                if json_records is not None:
+                    from ..utils.coco import pred_to_json
+
+                    img_id = b
+                    if dataset is not None and "im_id" in batch:
+                        from pathlib import Path as _P
+
+                        stem = _P(dataset.im_files[int(batch["im_id"][b])]).stem
+                        img_id = int(stem) if stem.isnumeric() else stem
+                    json_records.extend(
+                        pred_to_json(img_id, boxes[b][keep], scores[b][keep], labels[b][keep])
+                    )
+        if json_records is not None:
+            from ..utils.coco import save_json
+
+            save_json(json_records, save_json_path)
         return metrics.results()

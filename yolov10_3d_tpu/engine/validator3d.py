@@ -69,6 +69,7 @@ class Detection3DValidator:
 
         @jax.jit
         def fwd(variables, x):
+            x = x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
             out = self.model.apply(variables, x, train=False)
             feats = out["one2one"]
             nl = len(feats)

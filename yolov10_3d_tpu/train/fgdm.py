@@ -43,10 +43,10 @@ def focal_ce(logits: jax.Array, targets: jax.Array, alpha: float = 0.25, gamma: 
     """Multi-class focal loss on logits (kornia-style LogitFocalLoss,
     reference loss.py:1442-1564). logits (..., C), targets (...) int."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    p = jnp.exp(logp)
     tgt = jnp.clip(targets, 0, logits.shape[-1] - 1)
-    logp_t = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-    p_t = jnp.take_along_axis(p, tgt[..., None], axis=-1)[..., 0]
+    onehot = jax.nn.one_hot(tgt, logits.shape[-1], dtype=logp.dtype)
+    logp_t = (logp * onehot).sum(-1)  # one-hot contraction, not a gather
+    p_t = jnp.exp(logp_t)
     return -alpha * (1 - p_t) ** gamma * logp_t
 
 

@@ -31,12 +31,13 @@ def laplacian_aleatoric_loss(pred, target, log_variance):
 
 
 def heading_loss(pred_hd, target_bin, target_res, fg):
-    """12-bin CE + selected-bin residual L1, both summed (loss.py:1121)."""
+    """12-bin CE + selected-bin residual L1, both summed (loss.py:1121).
+    One-hot contractions, not gathers (see _df_loss note in train/loss.py)."""
     logits = pred_hd[..., :12]
     logp = jax.nn.log_softmax(logits, axis=-1)
     tbin = jnp.clip(target_bin.astype(jnp.int32), 0, 11)
-    ce = -jnp.take_along_axis(logp, tbin[..., None], axis=-1)[..., 0]
     onehot = jax.nn.one_hot(tbin, 12, dtype=pred_hd.dtype)
+    ce = -(logp * onehot).sum(-1)
     pred_res = (pred_hd[..., 12:24] * onehot).sum(-1)
     l1 = jnp.abs(pred_res - target_res)
     return ((ce + l1) * fg).sum()
@@ -50,9 +51,12 @@ def dd_detection_loss(
     strides: Sequence[int],
     hyp: Dict[str, float],
     tal_topk: int = 8,
+    return_aux: bool = False,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Single-branch 3D loss (DDDetectionLoss.__call__, loss.py:825-963).
-    Returns (total * batch_size, {box2d, cls, dep, o3d, s3d, hd})."""
+    Returns (total * batch_size, {box2d, cls, dep, o3d, s3d, hd}); with
+    ``return_aux`` also the assignment (fg_mask/target_gt_idx) for the
+    distillation hook (loss.py:893-898 passes them to SupervisionLoss)."""
     x, shapes = flatten_feats(feats)
     x = x.astype(jnp.float32)
     B, A, _ = x.shape
@@ -89,6 +93,12 @@ def dd_detection_loss(
         batch["gt_heading_res"][..., None] if batch["gt_heading_res"].ndim == 2 else batch["gt_heading_res"],
     )
 
+    # host collation stacks the (identical) per-sample class mean-size table
+    # to (B, C, 3); the assigner wants (C, 3)
+    mean_sizes = batch["mean_sizes"]
+    if mean_sizes.ndim == 3:
+        mean_sizes = mean_sizes[0]
+
     res = assign3d(
         jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
         jax.lax.stop_gradient(pred_bboxes),
@@ -98,7 +108,7 @@ def dd_detection_loss(
         mask_gt,
         stride_tensor,
         batch["calib"].astype(jnp.float32),
-        batch["mean_sizes"].astype(jnp.float32),
+        mean_sizes.astype(jnp.float32),
         topk=tal_topk,
         num_classes=nc,
         alpha=float(hyp.get("tal_alpha", 0.5)),
@@ -155,7 +165,19 @@ def dd_detection_loss(
         "o3d": loss_o3d, "s3d": loss_s3d, "hd": loss_hd,
     }
     total = sum(items.values()) * B
+    if return_aux:
+        aux = {"fg_mask": res.fg_mask, "target_gt_idx": res.target_gt_idx}
+        return total, items, aux
     return total, items
+
+
+# canonical item order for HTL weighting (utils/htl.py loss_graph order);
+# total = htl_weights @ items when the trainer injects per-epoch weights
+ITEM_KEYS = (
+    "box2d_om", "cls_om", "dep_om", "o3d_om", "s3d_om", "hd_om",
+    "box2d_oo", "cls_oo", "dep_oo", "o3d_oo", "s3d_oo", "hd_oo",
+)
+_BRANCH_KEYS = ("box2d", "cls", "dep", "o3d", "s3d", "hd")
 
 
 def detect3d_loss(
@@ -166,23 +188,45 @@ def detect3d_loss(
     strides: Sequence[int],
     hyp: Dict[str, float],
     fgdm_loss_fn=None,
+    distill_fn=None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Dual-branch 3D loss (DetectLoss3d, loss.py:740): o2m at tal_topk + o2o
-    at topk=1, plus optional foreground-depth-map loss."""
-    l_m, items_m = dd_detection_loss(
+    at topk=1, plus optional foreground-depth-map and distillation losses.
+
+    When ``batch["htl_weights"]`` is present (a (12,) array in ITEM_KEYS
+    order, injected per-epoch by the trainer), the dual-branch total becomes
+    the weighted combination ``weights @ items`` like the reference's
+    ``loss = loss_weights @ self.loss_items`` (trainer.py:399-400).
+
+    ``distill_fn(preds, batch, aux_o2m)`` receives the o2m assignment so the
+    SupervisionLoss can gather teacher features at assigned GT centers.
+    """
+    l_m, items_m, aux_m = dd_detection_loss(
         preds["one2many"], batch, nc=nc, strides=strides, hyp=hyp,
-        tal_topk=int(hyp.get("tal_topk", 8)),
+        tal_topk=int(hyp.get("tal_topk", 8)), return_aux=True,
     )
     l_o, items_o = dd_detection_loss(
         preds["one2one"], batch, nc=nc, strides=strides, hyp=hyp, tal_topk=1
     )
     items = {f"{k}_om": v for k, v in items_m.items()}
     items.update({f"{k}_oo": v for k, v in items_o.items()})
-    total = l_m + l_o
+    if "htl_weights" in batch:
+        B = preds["one2many"][0].shape[0]
+        w = batch["htl_weights"].astype(jnp.float32)
+        vec = jnp.stack(
+            [items_m[k] for k in _BRANCH_KEYS] + [items_o[k] for k in _BRANCH_KEYS]
+        )
+        total = (w * vec).sum() * B
+    else:
+        total = l_m + l_o
     if fgdm_loss_fn is not None and "depth_maps" in preds and "depth_map" in batch:
         fgdm = fgdm_loss_fn(preds["depth_maps"][0], batch["depth_map"]) * hyp.get(
             "fgdm_loss_weight", 2.0
         )
         items["fgdm"] = fgdm
         total = total + fgdm
+    if distill_fn is not None:
+        dis = distill_fn(preds, batch, aux_m)
+        items["dis"] = dis
+        total = total + dis
     return total, items

@@ -94,9 +94,10 @@ def assign3d(
     )
     valid = mask_valid > 0
 
-    bbox_scores = jnp.take_along_axis(
-        pd_scores.astype(f32)[:, None], gt_labels[:, :, None, None], axis=-1
-    )[..., 0]
+    # per-GT class score as a one-hot matmul over C (gathers stall the TPU —
+    # see the _df_loss note in train/loss.py)
+    label_onehot = jax.nn.one_hot(gt_labels, C, dtype=f32)  # (B,M,C)
+    bbox_scores = jnp.einsum("bmc,bac->bma", label_onehot, pd_scores.astype(f32))
     bbox_scores = jnp.where(valid, bbox_scores, 0.0)
 
     sim = _keypoint_similarity(
@@ -133,13 +134,17 @@ def assign3d(
     fg_mask = mask_pos.sum(-2)
     target_gt_idx = mask_pos.argmax(-2).astype(jnp.int32)
 
-    def take(x):
-        return jnp.take_along_axis(
-            x, target_gt_idx[..., None] if x.ndim == 3 else target_gt_idx, axis=1
-        )
+    # one-hot matmul gathers over the (small) GT axis — not dynamic gathers
+    assign_onehot = jax.nn.one_hot(target_gt_idx, M, dtype=f32)  # (B,A,M)
 
-    target_labels = take(gt_labels)
-    target_scores = jax.nn.one_hot(target_labels, C, dtype=f32)
+    def take(x):
+        x = x.astype(f32)
+        if x.ndim == 2:
+            return jnp.einsum("bam,bm->ba", assign_onehot, x)
+        return jnp.einsum("bam,bmf->baf", assign_onehot, x)
+
+    target_labels = take(gt_labels).astype(jnp.int32)
+    target_scores = jnp.einsum("bam,bmc->bac", assign_onehot, label_onehot)
     target_scores = target_scores * (fg_mask[..., None] > 0)
 
     align_metric = align_metric * mask_pos
