@@ -88,6 +88,122 @@ def mosaic4(
     return canvas, labels
 
 
+def mosaic9(
+    items: List[Tuple[np.ndarray, np.ndarray]],
+    imgsz: Tuple[int, int],
+    rng: np.random.Generator,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """9-image 3x3 mosaic (reference augment.py:208 ``Mosaic._mosaic9``).
+    items: [(img HWC uint8, labels (n,5) cls+xyxy px)] x9; imgsz (h, w).
+    Returns a (2h, 2w) canvas like mosaic4 (the reference crops its 3s canvas
+    to 2s around a random center; we build 3s and crop identically)."""
+    sh, sw = imgsz
+    canvas = np.full((sh * 3, sw * 3, 3), 114, np.uint8)
+    hp = wp = -1  # previous h/w
+    out_labels = []
+    for i, (img, labels) in enumerate(items):
+        # cap the long side at s like the reference's load_image rect resize
+        h, w = img.shape[:2]
+        r = min(sh / h, sw / w)
+        if r < 1.0:
+            img = cv2.resize(img, (max(int(w * r), 1), max(int(h * r), 1)))
+            if len(labels):
+                labels = labels.copy()
+                labels[:, 1:5] *= r
+            h, w = img.shape[:2]
+        if i == 0:  # center
+            c = sw, sh, sw + w, sh + h
+        elif i == 1:  # top
+            c = sw, sh - h, sw + w, sh
+        elif i == 2:  # top right
+            c = sw + wp, sh - h, sw + wp + w, sh
+        elif i == 3:  # right
+            c = sw + w0, sh, sw + w0 + w, sh + h
+        elif i == 4:  # bottom right
+            c = sw + w0, sh + hp, sw + w0 + w, sh + hp + h
+        elif i == 5:  # bottom
+            c = sw + w0 - w, sh + h0, sw + w0, sh + h0 + h
+        elif i == 6:  # bottom left
+            c = sw + w0 - wp - w, sh + h0, sw + w0 - wp, sh + h0 + h
+        elif i == 7:  # left
+            c = sw - w, sh + h0 - h, sw, sh + h0
+        else:  # top left
+            c = sw - w, sh + h0 - hp - h, sw, sh + h0 - hp
+        if i == 0:
+            h0, w0 = h, w
+        pad_x, pad_y = c[:2]
+        x1, y1 = max(c[0], 0), max(c[1], 0)
+        x2, y2 = min(c[2], 3 * sw), min(c[3], 3 * sh)
+        canvas[y1:y2, x1:x2] = img[y1 - pad_y : y2 - pad_y, x1 - pad_x : x2 - pad_x]
+        if len(labels):
+            lab = labels.copy()
+            lab[:, [1, 3]] += pad_x
+            lab[:, [2, 4]] += pad_y
+            out_labels.append(lab)
+        hp, wp = h, w
+    # crop a (2h, 2w) window starting at a random offset in [0, s)
+    yc = int(rng.uniform(0, sh))
+    xc = int(rng.uniform(0, sw))
+    canvas = canvas[yc : yc + 2 * sh, xc : xc + 2 * sw]
+    labels = np.concatenate(out_labels) if out_labels else np.zeros((0, 5), np.float32)
+    if len(labels):
+        labels[:, [1, 3]] -= xc
+        labels[:, [2, 4]] -= yc
+        labels[:, 1:] = labels[:, 1:].clip(0, [sw * 2, sh * 2, sw * 2, sh * 2])
+        wh = labels[:, 3:5] - labels[:, 1:3]
+        labels = labels[(wh > 2).all(1)]
+    return canvas, labels
+
+
+def copy_paste(
+    img: np.ndarray,
+    labels: np.ndarray,
+    segments: List[np.ndarray],
+    rng: np.random.Generator,
+    p: float = 0.5,
+) -> Tuple[np.ndarray, np.ndarray, List[np.ndarray]]:
+    """Instance copy-paste via horizontal mirror (reference augment.py:753
+    ``CopyPaste``): flip selected instance masks left-right and paste them if
+    the mirrored box doesn't occlude existing instances (IoA < 0.30).
+    segments: per-instance polygons (n_i, 2) px matching ``labels`` rows."""
+    n = len(labels)
+    if p == 0.0 or n == 0 or not segments:
+        return img, labels, segments
+    h, w = img.shape[:2]
+    im_new = np.zeros(img.shape[:2], np.uint8)
+    # mirrored candidate boxes
+    boxes = labels[:, 1:5]
+    flipped = boxes.copy()
+    flipped[:, 0] = w - boxes[:, 2]
+    flipped[:, 2] = w - boxes[:, 0]
+    # intersection-over-area vs existing boxes
+    lt = np.maximum(flipped[:, None, :2], boxes[None, :, :2])
+    rb = np.minimum(flipped[:, None, 2:], boxes[None, :, 2:])
+    inter = np.clip(rb - lt, 0, None).prod(-1)
+    area = (flipped[:, 2] - flipped[:, 0]) * (flipped[:, 3] - flipped[:, 1]) + 1e-16
+    ioa = inter / area[:, None]  # (n, n)
+    candidates = np.nonzero((ioa < 0.30).all(1))[0]
+    k = round(p * len(candidates))
+    if k == 0:
+        return img, labels, segments
+    new_rows, new_segs = [], []
+    for j in rng.choice(candidates, size=k, replace=False):
+        seg = segments[j]
+        seg_f = seg.copy()
+        seg_f[:, 0] = w - seg[:, 0]
+        new_rows.append(
+            np.array([labels[j, 0], *flipped[j]], np.float32)
+        )
+        new_segs.append(seg_f)
+        cv2.drawContours(im_new, [seg_f.astype(np.int32)], -1, 1, cv2.FILLED)
+    result = cv2.flip(img, 1)  # mirrored source pixels
+    i = im_new.astype(bool)
+    img = img.copy()
+    img[i] = result[i]
+    labels = np.concatenate([labels, np.stack(new_rows)], 0)
+    return img, labels, segments + new_segs
+
+
 def random_perspective(
     img: np.ndarray,
     labels: np.ndarray,
@@ -181,8 +297,12 @@ def train_augment(
     sh, sw = imgsz
     use_mosaic = rng.random() < hyp.get("mosaic", 1.0)
     if use_mosaic:
-        idxs = [index] + [int(rng.integers(0, n_items)) for _ in range(3)]
-        img, labels = mosaic4([get_item(i) for i in idxs], imgsz, rng)
+        if rng.random() < hyp.get("mosaic9", 0.0):
+            idxs = [index] + [int(rng.integers(0, n_items)) for _ in range(8)]
+            img, labels = mosaic9([get_item(i) for i in idxs], imgsz, rng)
+        else:
+            idxs = [index] + [int(rng.integers(0, n_items)) for _ in range(3)]
+            img, labels = mosaic4([get_item(i) for i in idxs], imgsz, rng)
         border = (-sh // 2, -sw // 2)
     else:
         img, labels = get_item(index)

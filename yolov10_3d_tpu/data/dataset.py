@@ -67,7 +67,13 @@ class YOLODataset:
         fraction: float = 1.0,
         single_cls: bool = False,
         seed: int = 0,
+        cache: Optional[str] = None,
+        device_aug: bool = False,
     ):
+        """cache: None | 'ram' | 'disk' — decoded-image caching (reference
+        base.py:184-224 ``cache_images``); label arrays are always cached to a
+        ``*.cache.npz`` file with content-hash verification (reference
+        dataset.py:43-149 ``cache_labels``)."""
         self.imgsz = (imgsz, imgsz) if isinstance(imgsz, int) else (imgsz[1], imgsz[0])
         self.augment = augment
         self.hyp = dict(hyp or {})
@@ -78,6 +84,86 @@ class YOLODataset:
         if fraction < 1.0:
             self.im_files = self.im_files[: max(1, round(len(self.im_files) * fraction))]
         self.label_files = [img2label_path(f) for f in self.im_files]
+        self.cache = cache
+        self.device_aug = device_aug
+        self._ram: List[Optional[np.ndarray]] = [None] * len(self.im_files)
+        self.labels = self._load_labels(Path(img_path))
+
+    # -- label cache (reference dataset.py:43-149) --
+    def _labels_hash(self) -> str:
+        """Content hash over image+label paths, sizes and mtimes."""
+        import hashlib
+
+        h = hashlib.sha256()
+        for f in self.im_files + self.label_files:
+            p = Path(f)
+            st = p.stat() if p.exists() else None
+            h.update(f.encode())
+            h.update(str((st.st_size, st.st_mtime_ns) if st else None).encode())
+        return h.hexdigest()
+
+    def _parse_label_file(self, i: int) -> np.ndarray:
+        """(n, 5) cls + normalized xywh rows; malformed rows dropped with a
+        warning (the reference's verify_image_label checks, data/utils.py)."""
+        lp = Path(self.label_files[i])
+        if not lp.exists():
+            return np.zeros((0, 5), np.float32)
+        rows = []
+        for ln, line in enumerate(lp.read_text().splitlines()):
+            vals = line.split()
+            if not vals:
+                continue
+            if len(vals) < 5:
+                from ..utils import LOGGER
+
+                LOGGER.warning(f"{lp}:{ln + 1}: malformed label row {line!r} (skipped)")
+                continue
+            row = [float(v) for v in vals[:5]]
+            if not all(0.0 <= v <= 1.0 for v in row[1:5]):
+                row[1:5] = list(np.clip(row[1:5], 0.0, 1.0))
+            rows.append(row)
+        return np.array(rows, np.float32) if rows else np.zeros((0, 5), np.float32)
+
+    def _load_labels(self, root: Path) -> List[np.ndarray]:
+        cache_path = (root if root.is_dir() else root.parent) / "labels.cache.npz"
+        want = self._labels_hash()
+        try:
+            z = np.load(cache_path, allow_pickle=False)
+            if str(z["hash"]) == want and int(z["n"]) == len(self.im_files):
+                return [z[f"l{i}"] for i in range(len(self.im_files))]
+        except (FileNotFoundError, KeyError, ValueError, OSError):
+            pass
+        labels = [self._parse_label_file(i) for i in range(len(self.im_files))]
+        try:
+            np.savez_compressed(
+                cache_path, hash=want, n=len(labels),
+                **{f"l{i}": l for i, l in enumerate(labels)},
+            )
+        except OSError:  # read-only dataset dir: cache is best-effort
+            pass
+        return labels
+
+    # -- image cache (reference base.py:184-224) --
+    def _disk_cache_path(self, i: int) -> "Path":
+        p = Path(self.im_files[i])
+        return p.parent / (p.stem + ".npy")
+
+    def _load_cached_image(self, i: int) -> np.ndarray:
+        if self.cache == "ram":
+            if self._ram[i] is None:
+                self._ram[i] = _load_image(self.im_files[i])
+            return self._ram[i]
+        if self.cache == "disk":
+            npy = self._disk_cache_path(i)
+            if npy.exists():
+                return np.load(npy, mmap_mode="r")
+            img = _load_image(self.im_files[i])
+            try:
+                np.save(npy, img)
+            except OSError:
+                pass
+            return img
+        return _load_image(self.im_files[i])
 
     @staticmethod
     def _scan(img_path) -> List[str]:
@@ -99,34 +185,32 @@ class YOLODataset:
 
     def _raw(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
         """(img HWC RGB uint8, labels (n,5) cls+xyxy px)."""
-        img = _load_image(self.im_files[i])
+        img = np.asarray(self._load_cached_image(i))
         h, w = img.shape[:2]
-        lp = Path(self.label_files[i])
-        labels = np.zeros((0, 5), np.float32)
-        if lp.exists():
-            rows = []
-            for line in lp.read_text().splitlines():
-                vals = line.split()
-                if len(vals) >= 5:
-                    c = float(vals[0])
-                    cx, cy, bw, bh = (float(v) for v in vals[1:5])
-                    rows.append(
-                        [0.0 if self.single_cls else c,
-                         (cx - bw / 2) * w, (cy - bh / 2) * h,
-                         (cx + bw / 2) * w, (cy + bh / 2) * h]
-                    )
-            if rows:
-                labels = np.array(rows, np.float32)
+        lab = self.labels[i]
+        if not len(lab):
+            return img, np.zeros((0, 5), np.float32)
+        cls = np.zeros_like(lab[:, 0]) if self.single_cls else lab[:, 0]
+        cx, cy, bw, bh = lab[:, 1] * w, lab[:, 2] * h, lab[:, 3] * w, lab[:, 4] * h
+        labels = np.stack(
+            [cls, cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], -1
+        ).astype(np.float32)
         return img, labels
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        if self.device_aug and self.augment:
+            return self.tiles_item(i)
         if self.augment:
             img, labels = train_augment(
                 self._raw, i, len(self), self.rng, self.imgsz, self.hyp
             )
         else:
             img, labels = self._raw(i)
-            img, ratio, (dw, dh) = letterbox(img, self.imgsz, scaleup=False)
+            target = (
+                tuple(self.rect_shapes[i]) if getattr(self, "rect_shapes", None) is not None
+                else self.imgsz
+            )
+            img, ratio, (dw, dh) = letterbox(img, target, scaleup=False)
             if len(labels):
                 labels = labels.copy()
                 labels[:, [1, 3]] = labels[:, [1, 3]] * ratio + dw
@@ -147,16 +231,83 @@ class YOLODataset:
             gt_bboxes[:n] = xywh / np.array([w, h, w, h], np.float32)
             mask[:n] = (xywh[:, 2] > 1) & (xywh[:, 3] > 1)
         return {
-            "img": img.astype(np.float32) / 255.0,
+            # uint8: 4x fewer H2D bytes; consumers normalize on device
+            "img": np.ascontiguousarray(img),
             "gt_labels": gt_labels,
             "gt_bboxes": gt_bboxes,
             "mask_gt": mask,
+            "im_id": np.asarray(i, np.int64),  # index into self.im_files
         }
 
     def close_mosaic(self):
         """Disable mosaic/mixup for the final epochs (reference trainer.py:365)."""
         self.hyp["mosaic"] = 0.0
         self.hyp["mixup"] = 0.0
+
+    # -- device-aug mode: host only decodes tiles; mosaic/HSV/flip + label
+    # transforms run inside the jitted train step (ops/device_aug.py) --
+    def tiles_item(self, i: int) -> Dict[str, np.ndarray]:
+        """One sample's 4 mosaic source tiles, letterboxed to imgsz, with
+        per-tile labels in tile-frame pixels."""
+        idxs = [i] + [int(self.rng.integers(0, len(self))) for _ in range(3)]
+        th, tw = self.imgsz
+        M = self.max_boxes
+        tiles = np.zeros((4, th, tw, 3), np.uint8)
+        tlab = np.zeros((4, M, 5), np.float32)
+        tmask = np.zeros((4, M), bool)
+        for t, j in enumerate(idxs):
+            img, labels = self._raw(j)
+            img, ratio, (dw, dh) = letterbox(img, (th, tw), scaleup=True)
+            tiles[t] = img
+            n = min(len(labels), M)
+            if n:
+                lab = labels[:n].copy()
+                lab[:, [1, 3]] = lab[:, [1, 3]] * ratio + dw
+                lab[:, [2, 4]] = lab[:, [2, 4]] * ratio + dh
+                tlab[t, :n] = lab
+                tmask[t, :n] = True
+        return {"tiles": tiles, "tile_labels": tlab, "tile_mask": tmask}
+    def image_shapes(self) -> np.ndarray:
+        """(N, 2) h, w per image from headers (no full decode)."""
+        if not hasattr(self, "_shapes"):
+            from PIL import Image
+
+            out = np.zeros((len(self.im_files), 2), np.int64)
+            for i, f in enumerate(self.im_files):
+                with Image.open(f) as im:
+                    w, h = im.size
+                out[i] = (h, w)
+            self._shapes = out
+        return self._shapes
+
+    def set_rectangle(self, batch_size: int, stride: int = 32, pad: float = 0.0):
+        """Sort images by aspect ratio and assign each BATCH one stride-
+        aligned shape — the TPU-first rect mode: a handful of static shapes
+        (one jit compile each) instead of per-image dynamic shapes."""
+        shapes = self.image_shapes().astype(np.float64)
+        ar = shapes[:, 0] / shapes[:, 1]  # h/w
+        order = np.argsort(ar, kind="stable")
+        self.im_files = [self.im_files[i] for i in order]
+        self.label_files = [self.label_files[i] for i in order]
+        self.labels = [self.labels[i] for i in order]
+        self._ram = [self._ram[i] for i in order]
+        self._shapes = self._shapes[order]
+        ar = ar[order]
+        nb = int(np.ceil(len(ar) / batch_size))
+        h0, w0 = self.imgsz
+        self.rect_shapes = np.zeros((len(ar), 2), np.int64)
+        for b in range(nb):
+            sel = slice(b * batch_size, (b + 1) * batch_size)
+            ari = ar[sel]
+            mini, maxi = ari.min(), ari.max()
+            shape = [1.0, 1.0]
+            if maxi < 1:
+                shape = [maxi, 1.0]
+            elif mini > 1:
+                shape = [1.0, 1.0 / mini]
+            hw = np.ceil(np.array(shape) * np.array([h0, w0]) / stride + pad).astype(int) * stride
+            self.rect_shapes[sel] = hw
+        return self.rect_shapes
 
 
 class DataLoader:
@@ -178,7 +329,18 @@ class DataLoader:
         num_shards: int = 1,
         prefetch: int = 2,
         num_threads: int = 4,
+        rect: bool = False,
+        multi_scale: bool = False,
+        scale_choices: Sequence[float] = (0.75, 1.0, 1.25),
     ):
+        """rect: aspect-ratio batch binning (reference base.py:226
+        ``set_rectangle``) — TPU-first variant: batches are grouped by aspect
+        bucket so each batch has ONE static shape, bounding jit recompiles to
+        the bucket count instead of per-image shapes.
+
+        multi_scale: per-batch random resize (reference detect/train.py:60-73)
+        — TPU-first variant: scales come from a FIXED stride-aligned ladder so
+        XLA compiles each of the few sizes exactly once."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -188,6 +350,9 @@ class DataLoader:
         self.num_shards = num_shards
         self.prefetch = prefetch
         self.num_threads = num_threads
+        self.rect = rect
+        self.multi_scale = multi_scale
+        self.scale_choices = tuple(scale_choices)
         self.epoch = 0
 
     def __len__(self):
@@ -196,10 +361,49 @@ class DataLoader:
 
     def _indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
+        if self.rect and hasattr(self.dataset, "set_rectangle"):
+            if getattr(self.dataset, "rect_shapes", None) is None:
+                self.dataset.set_rectangle(self.batch_size)
+            if self.shuffle:
+                # shuffle batch ORDER, not contents — each batch keeps its
+                # common rect shape (reference rect semantics, base.py:226)
+                rng = np.random.default_rng(self.seed + self.epoch)
+                nb = math.ceil(len(idx) / self.batch_size)
+                order = rng.permutation(nb)
+                idx = np.concatenate(
+                    [idx[b * self.batch_size : (b + 1) * self.batch_size] for b in order]
+                )
+            return idx[self.shard_index :: self.num_shards]
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
         return idx[self.shard_index :: self.num_shards]
+
+    def _batch_scale(self, b: int) -> float:
+        """Deterministic per-batch scale from the fixed ladder."""
+        if not self.multi_scale:
+            return 1.0
+        rng = np.random.default_rng((self.seed + self.epoch) * 100003 + b)
+        return float(rng.choice(self.scale_choices))
+
+    @staticmethod
+    def _resize_batch(batch: Dict[str, np.ndarray], scale: float, stride: int = 32):
+        """Resize the collated image batch by ``scale`` (stride-aligned).
+        Normalized gt_bboxes are scale-invariant, so labels are untouched."""
+        if scale == 1.0:
+            return batch
+        import cv2
+
+        img = batch["img"]
+        h, w = img.shape[1:3]
+        nh = max(int(round(h * scale / stride)) * stride, stride)
+        nw = max(int(round(w * scale / stride)) * stride, stride)
+        if (nh, nw) == (h, w):
+            return batch
+        out = np.empty((img.shape[0], nh, nw, 3), img.dtype)
+        for i in range(img.shape[0]):
+            out[i] = cv2.resize(img[i], (nw, nh), interpolation=cv2.INTER_LINEAR)
+        return {**batch, "img": out}
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         from concurrent.futures import ThreadPoolExecutor
@@ -221,7 +425,10 @@ class DataLoader:
                     sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
                     if len(sel) < self.batch_size and self.drop_last:
                         break
-                    q.put(collate(sel))
+                    batch = collate(sel)
+                    if self.multi_scale:
+                        batch = self._resize_batch(batch, self._batch_scale(b))
+                    q.put(batch)
             finally:
                 q.put(None)
 

@@ -65,3 +65,29 @@ def jax_to_numpy(tree):
     import jax
 
     return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def strip_optimizer(path, out_path=None) -> str:
+    """Post-training checkpoint slimming (reference torch_utils.py:451
+    ``strip_optimizer``, called at trainer.py:656-666): drop the optimizer
+    state, promote EMA weights to the canonical params, and halve weights to
+    float16 for distribution. Roughly a 4x size cut."""
+    ckpt = load_checkpoint(path)
+    params = ckpt.get("ema_params") or ckpt["params"]
+
+    def halve(x):
+        x = np.asarray(x)
+        return x.astype(np.float16) if x.dtype == np.float32 else x
+
+    import jax
+
+    meta = dict(ckpt.get("meta") or {})
+    meta["stripped"] = True
+    return save_checkpoint(
+        out_path or path,
+        params=jax.tree.map(halve, params),
+        batch_stats=jax.tree.map(halve, ckpt.get("batch_stats") or {}),
+        ema_params=None,
+        opt_state=None,
+        meta=meta,
+    )
