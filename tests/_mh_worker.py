@@ -1,0 +1,118 @@
+"""Multi-host worker: one of two jax.distributed CPU processes running the
+full sharded train loop — per-host loader shards, global batch assembly,
+psum-by-sharding gradients, host-0-only checkpoint, stop-flag broadcast.
+Launched by tests/test_multihost.py."""
+
+import os
+import sys
+
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+outdir = sys.argv[3]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=proc_id
+)
+
+import numpy as np
+import jax.numpy as jnp
+import optax
+
+from yolov10_3d_tpu.data.dataset import DataLoader
+from yolov10_3d_tpu.nn.build import build_model
+from yolov10_3d_tpu.parallel.mesh import (
+    broadcast_flag, get_mesh, make_global_batch, make_parallel_train_step,
+    replicate_state_multihost,
+)
+from yolov10_3d_tpu.train.state import TrainState, make_train_step
+
+assert jax.process_count() == 2 and jax.device_count() == 4
+
+
+class DS:
+    """Deterministic synthetic detection samples (seeded by index)."""
+
+    def __len__(self):
+        return 8
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(i)
+        return {
+            "img": rng.uniform(0, 1, (64, 64, 3)).astype(np.float32),
+            "gt_labels": np.zeros(5, np.int32),
+            "gt_bboxes": np.tile(np.array([0.5, 0.5, 0.2, 0.2], np.float32), (5, 1)),
+            "mask_gt": np.ones(5, bool),
+            "im_id": np.asarray(i, np.int64),
+        }
+
+
+# tiny 5-conv model: the test exercises the DISTRIBUTED machinery, not the
+# architecture — keeps 2-process compile time bounded on a loaded box
+mini_yaml = os.path.join(outdir, "mini.yaml")
+if proc_id == 0 and not os.path.exists(mini_yaml):
+    with open(mini_yaml, "w") as f:
+        f.write(
+            "nc: 2\n"
+            "scales: {n: [1.0, 1.0, 256]}\n"
+            "backbone:\n"
+            "  - [-1, 1, Conv, [8, 3, 2]]\n"
+            "  - [-1, 1, Conv, [16, 3, 2]]\n"
+            "  - [-1, 1, Conv, [16, 3, 2]]\n"
+            "  - [-1, 1, Conv, [32, 3, 2]]\n"
+            "  - [-1, 1, Conv, [32, 3, 2]]\n"
+            "head:\n"
+            "  - [[2, 3, 4], 1, v10Detect, [nc]]\n"
+        )
+else:
+    import time as _t
+
+    for _ in range(100):
+        if os.path.exists(mini_yaml):
+            break
+        _t.sleep(0.1)
+model, spec = build_model(mini_yaml)
+variables = jax.jit(model.init, static_argnames="train")(
+    jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+)
+tx = optax.sgd(0.01, momentum=0.9)
+step = make_train_step(model, tx, nc=spec.nc, strides=spec.strides)
+state = TrainState.create(variables, tx)
+
+mesh = get_mesh()  # all 4 global devices
+pstep = make_parallel_train_step(step, mesh)
+state = replicate_state_multihost(state, mesh)
+
+# per-host loader shard: same shuffle seed -> disjoint halves of the dataset
+loader = DataLoader(
+    DS(), batch_size=4, shuffle=True, seed=0, shard_index=proc_id, num_shards=2,
+    num_threads=2,
+)
+seen = []
+losses = []
+for epoch in range(2):
+    for b in loader:
+        seen.extend(np.asarray(b["im_id"]).tolist())
+        gb = make_global_batch(b, mesh)
+        state, m = pstep(state, gb)
+        losses.append(float(m["loss"]))
+
+# host-0-only checkpoint write (reference rank-0 save, trainer.py:454)
+if jax.process_index() == 0:
+    from yolov10_3d_tpu.utils.checkpoint import save_checkpoint
+
+    save_checkpoint(
+        os.path.join(outdir, "mh.ckpt"),
+        params=jax.device_get(state.params),
+        meta={"procs": 2},
+    )
+
+# stop-flag broadcast from host 0 (reference trainer.py:418-421)
+stop = broadcast_flag(proc_id == 0)
+assert stop is True
+
+print(f"MHRESULT proc={proc_id} losses={losses} seen={sorted(seen)}", flush=True)

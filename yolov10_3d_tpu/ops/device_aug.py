@@ -1,0 +1,179 @@
+"""On-device training augmentation with label transforms
+(BASELINE.json north star: "cv2-based letterbox/mosaic/HSV/random-perspective
+augmentation pipeline becomes fused preprocessing behind a sharded loader").
+
+TPU-first redesign of the reference pipeline (augment.py:135 Mosaic,
+:347 RandomPerspective, :584 RandomHSV, :627 RandomFlip):
+
+- the host loader only DECODES images into fixed-size uint8 tiles + label
+  arrays (data/dataset.py ``DataLoader(device_aug=True)``);
+- everything else — 4-tile mosaic, scale+translate crop, HSV jitter,
+  horizontal flip, and all label coordinate transforms — runs inside ONE
+  jitted program fused with the train step (train/state.py preprocess_fn),
+  so the images cross PCIe once as uint8 and never return to the host.
+
+Deviations from the cv2 reference, chosen for XLA-compatibility (all static
+shapes, no per-sample resampling kernels):
+- rotation/shear/perspective are not supported on the device path (their hyp
+  defaults are 0.0 in default.yaml; non-zero values fall back to host aug);
+- the random scale is realized as a per-sample crop-window SIZE drawn from a
+  small fixed ladder (compile-once per ladder entry is avoided by using
+  a single per-batch size) followed by one batched resize — the reference
+  draws a continuous per-sample scale.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _mosaic_canvas(tiles: jax.Array, centers: jax.Array) -> jax.Array:
+    """tiles (4, H, W, 3) fp32, centers (2,) int — one sample's 2Hx2W mosaic
+    (vmapped over the batch). Tile i is anchored at the quadrant around the
+    center like the reference _mosaic4 (augment.py:135)."""
+    _, H, W, C = tiles.shape
+    yc, xc = centers[0], centers[1]
+    canvas = jnp.full((2 * H, 2 * W, C), 114.0 / 255.0, tiles.dtype)
+    canvas = jax.lax.dynamic_update_slice(canvas, tiles[0], (yc - H, xc - W, 0))
+    canvas = jax.lax.dynamic_update_slice(canvas, tiles[1], (yc - H, xc, 0))
+    canvas = jax.lax.dynamic_update_slice(canvas, tiles[2], (yc, xc - W, 0))
+    canvas = jax.lax.dynamic_update_slice(canvas, tiles[3], (yc, xc, 0))
+    return canvas
+
+
+def _tile_offsets(centers: jax.Array, H: int, W: int) -> jax.Array:
+    """(B,2) centers -> (B,4,2) per-tile (dy, dx) canvas offsets (clamped the
+    same way dynamic_update_slice clamps)."""
+    yc = jnp.clip(centers[:, 0], H, H * 2 - 1)[:, None]
+    xc = jnp.clip(centers[:, 1], W, W * 2 - 1)[:, None]
+    dy = jnp.concatenate([yc - H, yc - H, yc, yc], 1)  # (B,4)
+    dx = jnp.concatenate([xc - W, xc, xc - W, xc], 1)
+    return jnp.stack([dy, dx], -1)  # (B,4,2)
+
+
+def _hsv_device(img: jax.Array, gains: jax.Array) -> jax.Array:
+    """Batched HSV jitter in [0,1] RGB (reference augment.py:584 RandomHSV).
+    gains (B,3): multiplicative (1+r*hgain, 1+r*sgain, 1+r*vgain)."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    d = mx - mn + 1e-12
+    h = jnp.where(
+        mx == r, (g - b) / d % 6.0, jnp.where(mx == g, (b - r) / d + 2.0, (r - g) / d + 4.0)
+    ) / 6.0
+    s = jnp.where(mx > 0, d / (mx + 1e-12), 0.0)
+    v = mx
+    gh, gs, gv = (gains[:, i][:, None, None] for i in range(3))
+    h = (h * gh) % 1.0
+    s = jnp.clip(s * gs, 0.0, 1.0)
+    v = jnp.clip(v * gv, 0.0, 1.0)
+    # hsv -> rgb
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1 - s)
+    q = v * (1 - f * s)
+    t = v * (1 - (1 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
+    g2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
+    b2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return jnp.stack([r2, g2, b2], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "crop_hw", "max_boxes"))
+def device_train_augment(
+    tiles_u8: jax.Array,     # (B, 4, H, W, 3) uint8, tiles pre-sized on host
+    tile_labels: jax.Array,  # (B, 4, M, 5) cls + xyxy px in tile frame
+    tile_mask: jax.Array,    # (B, 4, M) bool
+    rng: jax.Array,          # PRNG key
+    *,
+    out_hw: Tuple[int, int],
+    crop_hw: Tuple[int, int],
+    max_boxes: int = 100,
+    hsv_gains: Tuple[float, float, float] = (0.015, 0.7, 0.4),
+    fliplr: float = 0.5,
+) -> Dict[str, jax.Array]:
+    """Fused mosaic4 -> translate crop (crop_hw window from the 2Hx2W canvas)
+    -> resize to out_hw -> HSV -> flip, with exact label transforms.
+
+    Returns {img (B,oh,ow,3) fp32 [0,1], gt_labels (B,K), gt_bboxes (B,K,4)
+    normalized xywh, mask_gt (B,K)} — the train batch contract."""
+    B, T, H, W, _ = tiles_u8.shape
+    M = tile_labels.shape[2]
+    oh, ow = out_hw
+    ch, cw = crop_hw
+    k_center, k_crop, k_hsv, k_flip = jax.random.split(rng, 4)
+
+    tiles = tiles_u8.astype(jnp.float32) / 255.0
+    # mosaic centers in [H/2, 3H/2) like the reference (augment.py:158)
+    cy = jax.random.randint(k_center, (B,), H // 2, H + H // 2 + 1) + (H // 2)
+    cx = jax.random.randint(k_center, (B,), W // 2, W + W // 2 + 1) + (W // 2)
+    centers = jnp.stack([cy, cx], -1)
+    canvas = jax.vmap(_mosaic_canvas)(tiles, centers)  # (B, 2H, 2W, 3)
+
+    # translate: random crop window inside the canvas
+    oy = jax.random.randint(k_crop, (B,), 0, max(2 * H - ch, 1))
+    ox = jax.random.randint(k_crop, (B,), 0, max(2 * W - cw, 1))
+    crop = jax.vmap(
+        lambda c, y, x: jax.lax.dynamic_slice(c, (y, x, 0), (ch, cw, 3))
+    )(canvas, oy, ox)
+    img = jax.image.resize(crop, (B, oh, ow, 3), "bilinear") if (ch, cw) != (oh, ow) else crop
+
+    # HSV + flip
+    r3 = jax.random.uniform(k_hsv, (B, 3), minval=-1.0, maxval=1.0)
+    gains = 1.0 + r3 * jnp.asarray(hsv_gains)
+    img = _hsv_device(img, gains)
+    flip = jax.random.uniform(k_flip, (B,)) < fliplr
+    img = jnp.where(flip[:, None, None, None], img[:, :, ::-1], img)
+
+    # ---- labels: tile frame -> canvas -> crop -> out scale -> flip ----
+    offs = _tile_offsets(centers, H, W).astype(jnp.float32)  # (B,4,2) dy,dx
+    lab = tile_labels.astype(jnp.float32)
+    x1 = lab[..., 1] + offs[..., 1:2]
+    y1 = lab[..., 2] + offs[..., 0:1]
+    x2 = lab[..., 3] + offs[..., 1:2]
+    y2 = lab[..., 4] + offs[..., 0:1]
+    # crop translate + resize scale
+    sx = ow / cw
+    sy = oh / ch
+    x1 = (x1 - ox[:, None, None]) * sx
+    x2 = (x2 - ox[:, None, None]) * sx
+    y1 = (y1 - oy[:, None, None]) * sy
+    y2 = (y2 - oy[:, None, None]) * sy
+    x1 = jnp.clip(x1, 0, ow)
+    x2 = jnp.clip(x2, 0, ow)
+    y1 = jnp.clip(y1, 0, oh)
+    y2 = jnp.clip(y2, 0, oh)
+    # flip x
+    fx = flip[:, None, None]
+    nx1 = jnp.where(fx, ow - x2, x1)
+    nx2 = jnp.where(fx, ow - x1, x2)
+    x1, x2 = nx1, nx2
+
+    w = x2 - x1
+    h = y2 - y1
+    valid = tile_mask & (w > 2.0) & (h > 2.0)  # candidate filter (augment.py:558)
+
+    cls = lab[..., 0].reshape(B, T * M)
+    xywh = jnp.stack(
+        [(x1 + x2) / 2 / ow, (y1 + y2) / 2 / oh, w / ow, h / oh], -1
+    ).reshape(B, T * M, 4)
+    valid = valid.reshape(B, T * M)
+
+    # compact the valid boxes to the front, pad/truncate to max_boxes —
+    # fixed-shape sort-by-validity instead of host-side ragged concat
+    order = jnp.argsort(~valid, axis=1, stable=True)[:, :max_boxes]
+    onehot = jax.nn.one_hot(order, T * M, dtype=jnp.float32)  # (B,K,TM)
+    gt_bboxes = jnp.einsum("bkt,btf->bkf", onehot, xywh)
+    gt_labels = jnp.einsum("bkt,bt->bk", onehot, cls).astype(jnp.int32)
+    mask_gt = jnp.einsum("bkt,bt->bk", onehot, valid.astype(jnp.float32)) > 0.5
+    return {
+        "img": img,
+        "gt_labels": gt_labels,
+        "gt_bboxes": gt_bboxes * mask_gt[..., None],
+        "mask_gt": mask_gt,
+    }

@@ -36,9 +36,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "dp") -> Dict[str, Any]:
-    """Place every array in the batch with its leading dim sharded over dp."""
+    """Place every array in the batch with its leading dim sharded over dp.
+    Arrays whose leading dim doesn't divide the mesh (per-epoch scalars like
+    HTL weights) are replicated instead."""
+    n = int(np.prod(mesh.devices.shape))
     sh = batch_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    rep = replicated(mesh)
+
+    def place(x):
+        divisible = getattr(x, "ndim", 0) > 0 and x.shape[0] % n == 0
+        return jax.device_put(x, sh if divisible else rep)
+
+    return jax.tree.map(place, batch)
 
 
 def replicate_state(state, mesh: Mesh):
@@ -53,13 +62,66 @@ def make_parallel_train_step(train_step, mesh: Mesh, axis: str = "dp"):
     (psum inserted automatically — scaling-book recipe, not NCCL DDP).
     """
     rep = replicated(mesh)
-    data = batch_sharding(mesh, axis)
+    # batch shardings are committed per-leaf by shard_batch (dp on the batch
+    # axis, replicated for per-epoch vectors like HTL weights) — None here
+    # inherits them instead of forcing dp onto every leaf
     return jax.jit(
         train_step,
-        in_shardings=(rep, data),
+        in_shardings=(rep, None),
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
+
+
+def make_global_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "dp") -> Dict[str, Any]:
+    """Multi-host: per-process LOCAL batch shards -> global sharded arrays.
+
+    Each process feeds its own loader shard (DataLoader(shard_index=...));
+    this assembles them into global arrays with the leading axis sharded over
+    the full mesh — the multi-host replacement for DistributedSampler
+    (reference build.py:111). Arrays whose leading dim isn't a batch axis
+    (per-epoch vectors) are replicated.
+    """
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return shard_batch(batch, mesh, axis)
+    n = int(np.prod(mesh.devices.shape))
+    sh = batch_sharding(mesh, axis)
+    rep = replicated(mesh)
+
+    def mk(x):
+        x = np.asarray(x)
+        local_b = x.shape[0] if x.ndim else 0
+        if x.ndim > 0 and (local_b * n_proc) % n == 0 and local_b > 0:
+            gshape = (local_b * n_proc,) + x.shape[1:]
+            return jax.make_array_from_process_local_data(sh, x, gshape)
+        return jax.make_array_from_process_local_data(rep, x, x.shape)
+
+    return jax.tree.map(mk, batch)
+
+
+def replicate_state_multihost(state, mesh: Mesh):
+    """Replicate train state across a multi-process mesh (every process must
+    hold identical values, e.g. same-seed init or a host-broadcast ckpt)."""
+    if jax.process_count() == 1:
+        return replicate_state(state, mesh)
+    rep = replicated(mesh)
+
+    def mk(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(rep, x, x.shape)
+
+    return jax.tree.map(mk, state)
+
+
+def broadcast_flag(value: bool) -> bool:
+    """Host-0 -> all-hosts flag broadcast (the reference's stop-flag
+    broadcast_object_list, trainer.py:418-421)."""
+    from jax.experimental import multihost_utils
+
+    import jax.numpy as jnp
+
+    return bool(multihost_utils.broadcast_one_to_all(jnp.asarray(value)))
 
 
 def get_mesh_2d(dp: int, sp: int) -> Mesh:
