@@ -42,15 +42,23 @@ def _df_loss(pred_dist: jax.Array, target: jax.Array) -> jax.Array:
 
     pred_dist: (..., 4, reg_max) logits; target: (..., 4) continuous in
     [0, reg_max-1). Returns (..., 1): mean over the 4 sides.
+
+    TPU note: the two bin lookups are one fused one-hot contraction over the
+    reg_max axis — dynamic gathers (take_along_axis) on the minor axis cost
+    ~80 ms at (64, 8400, 4, 16) on v5e; the one-hot form is pure VPU math.
     """
+    reg_max = pred_dist.shape[-1]
     tl = jnp.floor(target).astype(jnp.int32)
-    tr = tl + 1
-    wl = tr.astype(target.dtype) - target
+    tr = jnp.clip(tl + 1, 0, reg_max - 1)
+    wl = (tl + 1).astype(target.dtype) - target
     wr = 1.0 - wl
     logp = jax.nn.log_softmax(pred_dist, axis=-1)
-    ce_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1)[..., 0]
-    ce_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, pred_dist.shape[-1] - 1)[..., None], axis=-1)[..., 0]
-    return (ce_l * wl + ce_r * wr).mean(-1, keepdims=True)
+    w = (
+        jax.nn.one_hot(tl, reg_max, dtype=logp.dtype) * wl[..., None]
+        + jax.nn.one_hot(tr, reg_max, dtype=logp.dtype) * wr[..., None]
+    )
+    ce = -(logp * w).sum(-1)
+    return ce.mean(-1, keepdims=True)
 
 
 def detection_loss(

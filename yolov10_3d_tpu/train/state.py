@@ -51,10 +51,14 @@ def make_train_step(
     compute_dtype: jnp.dtype = jnp.float32,
     loss_fn: Optional[Callable] = None,
     head_kwargs_fn: Optional[Callable] = None,
+    preprocess_fn: Optional[Callable] = None,
 ) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the jittable train step. ``loss_fn(preds, batch)`` may override the
     default v10 dual loss (used by the 3D trainer). ``head_kwargs_fn(batch,
-    step)`` supplies extra head inputs (RT-DETR contrastive denoising)."""
+    step)`` supplies extra head inputs (RT-DETR contrastive denoising).
+    ``preprocess_fn(batch, step) -> batch`` runs INSIDE the jitted step —
+    the device-augmentation hook (ops/device_aug.py): host tiles in, fully
+    augmented img + labels out, fused with forward/backward."""
 
     def _loss(preds, batch):
         if loss_fn is not None:
@@ -64,7 +68,13 @@ def make_train_step(
         )
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
-        img = batch["img"].astype(compute_dtype)
+        if preprocess_fn is not None:
+            batch = preprocess_fn(batch, state.step)
+        img = batch["img"]
+        if img.dtype == jnp.uint8:  # uint8 H2D path: normalize on device
+            img = img.astype(compute_dtype) / 255.0
+        else:
+            img = img.astype(compute_dtype)
 
         def forward(params):
             extra = (

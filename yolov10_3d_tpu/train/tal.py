@@ -43,7 +43,30 @@ def select_candidates_in_gts(
 def _topk_mask(metrics: jax.Array, topk: int, valid_gt: jax.Array) -> jax.Array:
     """Reference select_topk_candidates (tal.py:136-160): mark the top-k anchors
     per GT; anchors hit more than once (only possible via the masked-to-0
-    fill of invalid GTs) are zeroed."""
+    fill of invalid GTs) are zeroed.
+
+    TPU note: lax.top_k sorts the whole anchor axis (~15 ms at (64,20,8400) on
+    v5e). topk=1 is an argmax; small k uses iterative max-extract (k fused
+    max+mask sweeps, ~1 ms) — both avoid the sort.
+    """
+    A = metrics.shape[-1]
+    if topk == 1:
+        idx = metrics.argmax(-1)
+        counts = jax.nn.one_hot(idx, A, dtype=jnp.int32)
+        counts = jnp.where(valid_gt[..., None], counts, 0)
+        return counts.astype(metrics.dtype)
+    if topk <= 16:
+        m = metrics
+        mask = jnp.zeros(metrics.shape, bool)
+        neg = jnp.finfo(metrics.dtype).min
+        for _ in range(topk):
+            hit = jax.nn.one_hot(m.argmax(-1), A, dtype=jnp.bool_)
+            mask = mask | hit
+            m = jnp.where(hit, neg, m)
+        counts = mask & valid_gt[..., None]
+        # NOTE: ties dedup (counts > 1) can't occur here — each sweep picks a
+        # distinct argmax — matching the reference's intent (tal.py:155-159)
+        return counts.astype(metrics.dtype)
     _, topk_idx = jax.lax.top_k(metrics, topk)            # (B,M,topk)
     topk_idx = jnp.where(valid_gt[..., None], topk_idx, 0)
     counts = (
@@ -83,11 +106,12 @@ def assign(
     mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes).astype(jnp.float32)
     mask_valid = mask_in_gts * mask_gt[..., None]  # (B,M,A)
 
-    # scores of each anchor for its GT's class: (B,M,A)
+    # scores of each anchor for its GT's class: (B,M,A) as a one-hot matmul
+    # over the class axis — MXU-friendly, where a take_along_axis gather on
+    # the minor axis stalls the TPU (see _df_loss note in loss.py)
     labels = jnp.clip(gt_labels.astype(jnp.int32), 0, C - 1)
-    bbox_scores = jnp.take_along_axis(
-        pd_scores[:, None], labels[:, :, None, None], axis=-1
-    )[..., 0].transpose(0, 1, 2)  # (B,M,A)
+    label_onehot = jax.nn.one_hot(labels, C, dtype=pd_scores.dtype)  # (B,M,C)
+    bbox_scores = jnp.einsum("bmc,bac->bma", label_onehot, pd_scores)
     bbox_scores = jnp.where(mask_valid > 0, bbox_scores, 0.0)
 
     overlaps = bbox_iou(
@@ -108,12 +132,14 @@ def assign(
     fg_mask = mask_pos.sum(-2)                         # (B,A)
     target_gt_idx = mask_pos.argmax(-2).astype(jnp.int32)  # (B,A)
 
-    # gather targets
-    target_labels = jnp.take_along_axis(labels, target_gt_idx, axis=1)  # (B,A)
-    target_bboxes = jnp.take_along_axis(
-        gt_bboxes, target_gt_idx[..., None], axis=1
-    )  # (B,A,4)
-    target_scores = jax.nn.one_hot(target_labels, C, dtype=jnp.float32)
+    # gather targets via the assignment one-hot (mask_pos IS one_hot(target_gt_idx)
+    # on fg anchors) — matmul instead of dynamic gather
+    assign_onehot = jax.nn.one_hot(target_gt_idx, M, dtype=jnp.float32)  # (B,A,M)
+    target_labels = jnp.einsum(
+        "bam,bm->ba", assign_onehot, labels.astype(jnp.float32)
+    ).astype(jnp.int32)
+    target_bboxes = jnp.einsum("bam,bmf->baf", assign_onehot, gt_bboxes)
+    target_scores = jnp.einsum("bam,bmc->bac", assign_onehot, label_onehot)
     target_scores = target_scores * (fg_mask[..., None] > 0)
 
     # normalise scores by per-GT max metric (reference tal.py:88-93)
