@@ -135,22 +135,16 @@ class Results:
         return txt_file
 
     def plot(self, line_width: Optional[int] = None, font_scale: float = 0.5):
-        """Draw boxes onto a copy of the original image (BGR-safe, cv2)."""
-        import cv2
+        """Draw boxes onto a copy of the original image (reference
+        results.py ``plot``; PIL Annotator backend)."""
+        from ..utils.plotting import Annotator, color_for
 
-        img = self.orig_img.copy()
         b = self.boxes
         if b is None:
-            return img
-        lw = line_width or max(round(sum(img.shape[:2]) / 2 * 0.003), 2)
+            return self.orig_img.copy()
+        ann = Annotator(self.orig_img.copy(), line_width, names=self.names)
         for i in range(len(b)):
-            x1, y1, x2, y2 = b.xyxy[i].astype(int)
             c = int(b.cls[i])
-            color = tuple(int(x) for x in np.array([37, 255, 225]) * ((c % 5) + 1) % 256)
-            cv2.rectangle(img, (x1, y1), (x2, y2), color, lw)
             label = f"{self.names.get(c, c)} {b.conf[i]:.2f}"
-            cv2.putText(
-                img, label, (x1, max(y1 - 4, 12)), cv2.FONT_HERSHEY_SIMPLEX,
-                font_scale, color, max(lw - 1, 1),
-            )
-        return img
+            ann.box_label(b.xyxy[i], label, color_for(c))
+        return ann.result()

@@ -1,8 +1,8 @@
 """Plotting / visualization (reference: utils/plotting.py — Annotator:108,
 plot_images:804, plot_results:956, KITTIVisualizer:1226).
 
-matplotlib/cv2 host-side; every function degrades to a no-op warning when the
-backend is unavailable (headless CI).
+PIL-based drawing (cv2 is not in this image); matplotlib functions degrade to
+a no-op when the backend is unavailable (headless CI).
 """
 
 from __future__ import annotations
@@ -31,30 +31,126 @@ def color_for(idx: int):
 
 
 class Annotator:
-    """Box/label/line drawing over an RGB ndarray (reference plotting.py:108)."""
+    """Box/label/line/region/keypoint drawing over an RGB ndarray (reference
+    plotting.py:108). PIL.ImageDraw backend; `result()` returns the ndarray.
 
-    def __init__(self, img: np.ndarray, line_width: Optional[int] = None):
-        import cv2
+    Carries the solution-app drawing surface: draw_region,
+    draw_centroid_and_tracks, count_labels (object_counter.py:165-247),
+    estimate_pose_angle / draw_specific_points /
+    plot_angle_and_count_and_stage (ai_gym.py:85-130) and
+    plot_distance_and_line (distance_calculation.py:155)."""
 
-        self.cv2 = cv2
-        self.img = np.ascontiguousarray(img)
+    def __init__(self, img: np.ndarray, line_width: Optional[int] = None, names=None):
+        from PIL import Image, ImageDraw
+
+        img = np.asarray(img)
+        if img.dtype != np.uint8:
+            img = (img * 255).clip(0, 255).astype(np.uint8)
+        self._im = Image.fromarray(np.ascontiguousarray(img))
+        self.draw = ImageDraw.Draw(self._im)
         self.lw = line_width or max(round(sum(img.shape[:2]) / 2 * 0.003), 2)
+        self.names = names
 
-    def box_label(self, xyxy, label: str = "", color=(128, 128, 128)):
+    @staticmethod
+    def _c(color):
+        return tuple(int(v) for v in color)
+
+    def text(self, xy, label: str, txt_color=(255, 255, 255), box_color=None):
+        """Text at xy; optional filled background box."""
+        if box_color is not None:
+            x1, y1, x2, y2 = self.draw.textbbox((int(xy[0]), int(xy[1])), label)
+            pad = max(self.lw, 2)
+            self.draw.rectangle(
+                (x1 - pad, y1 - pad, x2 + pad, y2 + pad), fill=self._c(box_color)
+            )
+        self.draw.text((int(xy[0]), int(xy[1])), label, fill=self._c(txt_color))
+
+    def box_label(self, xyxy, label: str = "", color=(128, 128, 128), txt_color=(255, 255, 255)):
         p1 = (int(xyxy[0]), int(xyxy[1]))
         p2 = (int(xyxy[2]), int(xyxy[3]))
-        self.cv2.rectangle(self.img, p1, p2, color, self.lw)
+        self.draw.rectangle((p1, p2), outline=self._c(color), width=self.lw)
         if label:
-            self.cv2.putText(
-                self.img, label, (p1[0], max(p1[1] - 4, 12)),
-                self.cv2.FONT_HERSHEY_SIMPLEX, self.lw / 6, color, max(self.lw - 1, 1),
-            )
+            self.text((p1[0], max(p1[1] - 12, 0)), label, txt_color, box_color=color)
 
-    def line(self, p1, p2, color=(128, 128, 128)):
-        self.cv2.line(self.img, (int(p1[0]), int(p1[1])), (int(p2[0]), int(p2[1])), color, self.lw)
+    def line(self, p1, p2, color=(128, 128, 128), width: Optional[int] = None):
+        self.draw.line(
+            [(int(p1[0]), int(p1[1])), (int(p2[0]), int(p2[1]))],
+            fill=self._c(color), width=width or self.lw,
+        )
+
+    def circle(self, center, radius: int, color=(255, 0, 255), fill=True):
+        x, y = int(center[0]), int(center[1])
+        box = (x - radius, y - radius, x + radius, y + radius)
+        if fill:
+            self.draw.ellipse(box, fill=self._c(color))
+        else:
+            self.draw.ellipse(box, outline=self._c(color), width=self.lw)
+
+    def draw_region(self, reg_pts, color=(255, 0, 255), thickness: int = 5):
+        """Closed counting region / line (reference object_counter.py:252)."""
+        pts = [(int(p[0]), int(p[1])) for p in reg_pts]
+        closed = pts + [pts[0]] if len(pts) >= 3 else pts
+        self.draw.line(closed, fill=self._c(color), width=thickness)
+
+    def draw_centroid_and_tracks(self, track, color=(0, 255, 0), track_thickness: int = 2):
+        """Track trail polyline + centroid dot (reference plotting.py:396)."""
+        pts = [(int(p[0]), int(p[1])) for p in track]
+        if len(pts) >= 2:
+            self.draw.line(pts, fill=self._c(color), width=track_thickness)
+        self.circle(pts[-1], track_thickness * 2 + 1, color)
+
+    def count_labels(self, counts: str, txt_color=(0, 0, 0), color=(255, 255, 255), count_txt_size: int = 2):
+        """In/out count banner top-center (reference plotting.py:373)."""
+        w = self._im.size[0]
+        tw = self.draw.textlength(counts)
+        self.text(((w - tw) / 2, 10), counts, txt_color, box_color=color)
+
+    @staticmethod
+    def estimate_pose_angle(a, b, c) -> float:
+        """Angle at keypoint b formed by a-b-c, degrees in [0, 180]
+        (reference plotting.py:430 ``estimate_pose_angle``)."""
+        a, b, c = (np.asarray(p, np.float64)[:2] for p in (a, b, c))
+        ang = math.degrees(
+            math.atan2(c[1] - b[1], c[0] - b[0]) - math.atan2(a[1] - b[1], a[0] - b[0])
+        )
+        ang = abs(ang) % 360
+        return 360 - ang if ang > 180 else ang
+
+    def draw_specific_points(self, keypoints, indices, shape=(640, 640), radius: int = 2):
+        """Highlight the workout keypoints (reference plotting.py:443)."""
+        kpts = np.asarray(keypoints)
+        for i in indices:
+            k = kpts[int(i)]
+            if len(k) >= 3 and k[2] < 0.25:
+                continue
+            if k[0] % shape[0] == 0 or k[1] % shape[1] == 0 or k[0] < 0 or k[1] < 0:
+                continue
+            self.circle((k[0], k[1]), radius, (0, 255, 0))
+        return self.result()
+
+    def plot_angle_and_count_and_stage(
+        self, angle_text, count_text, stage_text, center_kpt, line_thickness: int = 2
+    ):
+        """Workout angle/count/stage stack next to a keypoint (reference
+        plotting.py:459)."""
+        x, y = int(center_kpt[0]), int(center_kpt[1])
+        for i, txt in enumerate(
+            (f"{float(angle_text):.1f} deg", f"reps {count_text}", f"stage {stage_text}")
+        ):
+            self.text((x + 10, y + i * 14), txt, (0, 0, 0), box_color=(255, 255, 255))
+
+    def plot_distance_and_line(
+        self, distance_m, distance_mm, centroids, line_color=(255, 255, 0), centroid_color=(255, 0, 255)
+    ):
+        """Distance readout + centroid connector (reference plotting.py:492)."""
+        self.text((15, 25), f"Distance M: {distance_m:.2f}m", (0, 0, 0), box_color=(255, 255, 255))
+        self.text((15, 45), f"Distance MM: {distance_mm:.2f}mm", (0, 0, 0), box_color=(255, 255, 255))
+        self.line(centroids[0], centroids[1], line_color, 3)
+        self.circle(centroids[0], 6, centroid_color)
+        self.circle(centroids[1], 6, centroid_color)
 
     def result(self):
-        return self.img
+        return np.asarray(self._im)
 
 
 def plot_images(
@@ -66,10 +162,8 @@ def plot_images(
     max_imgs: int = 16,
 ) -> Optional[str]:
     """Mosaic grid with GT boxes (reference plotting.py:804 ``plot_images``)."""
-    try:
-        import cv2
-    except ImportError:
-        return None
+    from PIL import Image
+
     imgs = np.asarray(imgs[:max_imgs])
     if imgs.dtype != np.uint8:
         imgs = (imgs * 255).clip(0, 255).astype(np.uint8)
@@ -93,7 +187,7 @@ def plot_images(
             tile = ann.result()
         canvas[r * H : (r + 1) * H, c * W : (c + 1) * W] = tile
     Path(fname).parent.mkdir(parents=True, exist_ok=True)
-    cv2.imwrite(str(fname), canvas[..., ::-1])
+    Image.fromarray(canvas).save(str(fname))
     return str(fname)
 
 
@@ -166,17 +260,15 @@ class KITTIVisualizer:
     def plot_preds(self, img: np.ndarray, rows: List, calib, fname: str) -> Optional[str]:
         """rows: KITTI-format prediction rows [cls, alpha, x1..y2, h, w, l,
         x, y, z, ry, score]."""
-        try:
-            import cv2
-        except ImportError:
-            return None
+        from PIL import Image
+
         ann = Annotator(img.copy())
         for r in rows:
             cls_id = int(r[0])
             ann.box_label(r[2:6], f"{self.class_names[cls_id]} {r[-1]:.2f}", color_for(cls_id))
             self.draw_3d_box(ann, calib, r[9:12], r[6:9], r[12], color_for(cls_id))
         Path(fname).parent.mkdir(parents=True, exist_ok=True)
-        cv2.imwrite(str(fname), ann.result()[..., ::-1])
+        Image.fromarray(ann.result()).save(str(fname))
         return str(fname)
 
     def plot_bev(self, rows_pred: List, rows_gt: List, fname: str, extent=50) -> Optional[str]:
