@@ -111,3 +111,56 @@ def test_distill_losses():
     dmaps = jnp.asarray((rng.uniform(0, 1, (B, 96, 320)) > 0.7).astype(np.float32) * 20)
     loss = supervision_fgdm_loss(teacher, fgdm_emb, dmaps)
     assert np.isfinite(float(loss))
+
+
+def test_o2m_depth_aggregation_matches_sklearn_loop():
+    """The vectorized grid-KDE must reproduce the per-detection sklearn
+    KernelDensity loop (the reference algorithm, val.py:78-102)."""
+    from sklearn.neighbors import KernelDensity
+
+    from yolov10_3d_tpu.engine.validator3d import aggregate_o2m_depth
+    from yolov10_3d_tpu.utils.metrics import box_iou_np
+
+    rng = np.random.default_rng(3)
+    K, B, N, M = 37, 2, 8, 24
+    def rand_preds(n):
+        p = np.zeros((B, n, K), np.float64)
+        xy = rng.uniform(50, 250, (B, n, 2))
+        wh = rng.uniform(30, 60, (B, n, 2))
+        p[..., :2] = xy - wh / 2
+        p[..., 2:4] = xy + wh / 2
+        p[..., 33] = rng.uniform(10, 40, (B, n))
+        p[..., 34] = rng.uniform(0.0, 2.5, (B, n))
+        p[..., 36] = rng.integers(0, 3, (B, n))
+        return p
+    predsO, predsM = rand_preds(N), rand_preds(M)
+    # plant clusters so some rows actually aggregate
+    for i in range(B):
+        for j in range(0, N, 2):
+            for k in range(j * 2, min(j * 2 + 3, M)):
+                predsM[i, k, :4] = predsO[i, j, :4]
+                predsM[i, k, 36] = predsO[i, j, 36]
+                predsM[i, k, 33] = predsO[i, j, 33] + rng.normal(0, 2)
+                predsM[i, k, 34] = 0.2
+
+    expected = predsO.copy()
+    for i in range(B):
+        iou = box_iou_np(predsO[i, :, :4], predsM[i, :, :4])
+        for j in range(N):
+            matches = iou[j] > 0.9
+            depths = np.concatenate([[predsO[i, j, 33]], predsM[i, matches, 33]])
+            uncerts = np.concatenate([[predsO[i, j, 34]], predsM[i, matches, 34]])
+            cls = np.concatenate([[predsO[i, j, 36]], predsM[i, matches, 36]])
+            scores = np.exp(-uncerts)
+            mask = (scores > 0.1) & (cls == predsO[i, j, 36])
+            if mask.sum() > 1:
+                w, d = scores[mask], depths[mask]
+                kde = KernelDensity(bandwidth="silverman", kernel="gaussian").fit(
+                    d[:, None], sample_weight=w / w.sum())
+                grid = np.linspace(d.min(), d.max(), 500)[:, None]
+                expected[i, j, 33] = grid[np.argmax(kde.score_samples(grid)), 0]
+
+    out = aggregate_o2m_depth(predsO, predsM)
+    changed = np.abs(expected[..., 33] - predsO[..., 33]) > 1e-12
+    assert changed.any()  # the planted clusters aggregated
+    np.testing.assert_allclose(out[..., 33], expected[..., 33], rtol=0, atol=1e-9)

@@ -24,35 +24,60 @@ from ..utils.metrics import DetMetrics, box_iou_np
 
 
 def aggregate_o2m_depth(
-    predsO: np.ndarray, predsM: np.ndarray, thres: float = 0.1
+    predsO: np.ndarray, predsM: np.ndarray, thres: float = 0.1, grid_points: int = 500
 ) -> np.ndarray:
     """Refine o2o depths with the o2m cluster (reference val.py:78-102):
     for each o2o det, gather same-class o2m dets with IoU>0.9, weight their
     depths by exp(-sigma), fit a weighted Gaussian KDE (Silverman bandwidth)
     and take the mode over a 500-point grid.
 
+    Fully vectorized over the detection axes (the reference loops python +
+    one sklearn KernelDensity fit per detection; this is one einsum per
+    image — same mode, since argmax_g sum_k w_k N(g; d_k, h) is invariant
+    to the weight normalisation and the 1/h constant sklearn applies).
+
     preds layout per row: bbox(4) c3d(2) s3d(3) hd(24) dep dep_un score label.
     """
-    from sklearn.neighbors import KernelDensity
-
     predsO = predsO.copy()
-    for i in range(predsO.shape[0]):
-        iou = box_iou_np(predsO[i, :, :4], predsM[i, :, :4])
-        for j in range(predsO.shape[1]):
-            matches = iou[j] > 0.9
-            depths = np.concatenate([[predsO[i, j, 33]], predsM[i, matches, 33]])
-            uncerts = np.concatenate([[predsO[i, j, 34]], predsM[i, matches, 34]])
-            cls = np.concatenate([[predsO[i, j, 36]], predsM[i, matches, 36]])
-            scores = np.exp(-uncerts)
-            mask = (scores > thres) & (cls == predsO[i, j, 36])
-            if mask.sum() > 1:
-                w = scores[mask]
-                d = depths[mask]
-                kde = KernelDensity(bandwidth="silverman", kernel="gaussian").fit(
-                    d[:, None], sample_weight=w / w.sum()
-                )
-                grid = np.linspace(d.min(), d.max(), 500)[:, None]
-                predsO[i, j, 33] = grid[np.argmax(kde.score_samples(grid)), 0]
+    B, N = predsO.shape[:2]
+    M = predsM.shape[1]
+    for i in range(B):
+        iou = box_iou_np(predsO[i, :, :4], predsM[i, :, :4])  # (N, M)
+        # column 0 = the o2o det itself, columns 1.. = the o2m cluster
+        depths = np.concatenate(
+            [predsO[i, :, 33:34], np.broadcast_to(predsM[i, :, 33], (N, M))], 1
+        )  # (N, M+1)
+        uncerts = np.concatenate(
+            [predsO[i, :, 34:35], np.broadcast_to(predsM[i, :, 34], (N, M))], 1
+        )
+        same_cls = np.concatenate(
+            [np.ones((N, 1), bool), predsM[i, :, 36][None] == predsO[i, :, 36:37]], 1
+        )
+        matches = np.concatenate([np.ones((N, 1), bool), iou > 0.9], 1)
+        w = np.exp(-uncerts)
+        mask = matches & same_cls & (w > thres)
+        n = mask.sum(1)
+        rows = np.nonzero(n > 1)[0]
+        if rows.size == 0:
+            continue
+        # compact each row to its masked columns only (clusters are tiny
+        # next to the o2m det count, so this shrinks the KDE >100x)
+        kmax = int(n.max())
+        order = np.argsort(~mask[rows], axis=1, kind="stable")[:, :kmax]
+        sub_mask = np.take_along_axis(mask[rows], order, 1)  # (R, kmax)
+        d = np.where(sub_mask, np.take_along_axis(depths[rows], order, 1), np.nan)
+        wv = np.where(sub_mask, np.take_along_axis(w[rows], order, 1), 0.0)
+        nr = n[rows].astype(np.float64)
+        # Silverman bandwidth exactly as sklearn KernelDensity: h =
+        # (n(d+2)/4)^(-1/(d+4)), data-scale-free for d=1 (sklearn _kde.py)
+        h = (nr * 3.0 / 4.0) ** (-0.2)  # (R,)
+        dmin, dmax = np.nanmin(d, 1), np.nanmax(d, 1)
+        grid = dmin[:, None] + (dmax - dmin)[:, None] * np.linspace(0.0, 1.0, grid_points)[None]
+        z = (grid[:, :, None] - np.nan_to_num(d)[:, None, :]) / h[:, None, None]
+        density = np.einsum("rgk,rk->rg", np.exp(-0.5 * z * z), wv)  # (R, G)
+        predsO[i, rows, 33] = np.take_along_axis(
+            grid, np.argmax(density, 1)[:, None], 1
+        )[:, 0]
     return predsO
 
 
