@@ -164,3 +164,69 @@ def test_o2m_depth_aggregation_matches_sklearn_loop():
     changed = np.abs(expected[..., 33] - predsO[..., 33]) > 1e-12
     assert changed.any()  # the planted clusters aggregated
     np.testing.assert_allclose(out[..., 33], expected[..., 33], rtol=0, atol=1e-9)
+
+
+def test_model_tune_and_ray_gate(monkeypatch, tmp_path):
+    """Model.tune evolution wiring + ray-gated path (reference engine/model.py
+    ``tune``, utils/tuner.py ``run_ray_tune``)."""
+    from yolov10_3d_tpu.engine.model import YOLOv10
+
+    m = YOLOv10("yolov10n.yaml")
+
+    class _T:
+        best_fitness = 0.0
+
+    def fake_train(self=m, **kw):
+        t = _T()
+        t.best_fitness = 1.0 - abs(kw.get("lr0", 0.01) - 0.02)
+        m.trainer = t
+
+    monkeypatch.setattr(m, "train", fake_train)
+    best_hyp, best_fit = m.tune(iterations=4, save_dir=str(tmp_path))
+    assert best_fit > 0 and "lr0" in best_hyp
+
+    try:
+        import ray  # noqa: F401
+        has_ray = True
+    except ImportError:
+        has_ray = False
+    if not has_ray:
+        with pytest.raises(RuntimeError, match="ray"):
+            m.tune(use_ray=True)
+
+
+def test_integration_registry_has_new_adapters():
+    from yolov10_3d_tpu.utils.callbacks import _INTEGRATIONS
+
+    for key in ("clearml", "neptune", "ray", "mlflow", "wandb"):
+        assert key in _INTEGRATIONS
+
+
+def test_benchmark_formats_table(tmp_path):
+    """Format benchmark table exports, reloads and times every Exporter
+    format (reference benchmarks.py:44)."""
+    pytest.importorskip("tensorflow")
+    from yolov10_3d_tpu.engine.model import YOLOv10
+    from yolov10_3d_tpu.utils.benchmarks import benchmark_formats
+
+    m = YOLOv10("yolov10n.yaml")
+    rows = benchmark_formats(m, imgsz=64, out_dir=str(tmp_path))
+    by_fmt = {r["format"]: r for r in rows}
+    assert set(by_fmt) == {"ckpt", "stablehlo", "tf_saved_model", "tflite"}
+    for fmt, r in by_fmt.items():
+        assert r["status"] == "✅", (fmt, r.get("error"))
+        assert r["latency_ms"] > 0 and r["size_mb"] > 0
+    assert by_fmt["stablehlo"]["match"] and by_fmt["tf_saved_model"]["match"]
+
+
+def test_profile_models_and_sigma_clipping():
+    from yolov10_3d_tpu.utils.benchmarks import ProfileModels, iterative_sigma_clipping
+
+    data = np.array([1.0, 1.1, 0.9, 1.05, 1.0, 0.95, 100.0])
+    clipped = iterative_sigma_clipping(data)
+    assert 100.0 not in clipped and len(clipped) >= 3
+
+    rows = ProfileModels(
+        ["yolov10_3d_tpu/cfg/models/v10/yolov10n.yaml"], imgsz=64, iters=2
+    ).profile()
+    assert rows[0]["params_M"] > 1 and rows[0]["latency_ms"] > 0

@@ -34,3 +34,37 @@ def test_tf_saved_model_roundtrip(tmp_path):
 
     with pytest.raises(RuntimeError, match="onnx"):
         ex(fmt="onnx")
+
+
+def test_autobackend_loads_tf_formats(tmp_path):
+    """Exporter formats round-trip through AutoBackend (reference
+    autobackend.py suffix dispatch)."""
+    from yolov10_3d_tpu.nn.autobackend import AutoBackend
+
+    model, spec = build_model("yolov10_3d_tpu/cfg/models/v10/yolov10n.yaml", nc=8)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x0, train=False
+    )
+    ex = Exporter(model, spec, variables)
+    xi = np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    det = v10_detections(
+        model.apply(variables, jnp.asarray(xi), train=False)["one2one"],
+        spec.strides, spec.nc, max_det=10,
+    )
+
+    sm = ex(fmt="tf_saved_model", imgsz=64, max_det=10, out=str(tmp_path / "sm"))
+    backend = AutoBackend(sm)
+    assert backend.kind == "tf_saved_model"
+    assert backend.input_shape == (1, 64, 64, 3)
+    boxes, scores, labels = backend.forward(xi)
+    np.testing.assert_allclose(boxes, np.asarray(det["boxes"]), rtol=1e-4, atol=1e-4)
+
+    tfl = ex(fmt="tflite", imgsz=64, max_det=10, out=str(tmp_path / "m.tflite"))
+    backend = AutoBackend(tfl)
+    assert backend.kind == "tflite"
+    outs = backend.warmup().forward(xi)
+    by_shape = {o.shape[-1] if o.ndim == 3 else "s": o for o in outs}
+    np.testing.assert_allclose(
+        by_shape[4], np.asarray(det["boxes"]), rtol=1e-3, atol=1e-3
+    )

@@ -184,6 +184,7 @@ class Model:
         else:
             cls = DetectionTrainer
         trainer = cls(cfg)
+        self.trainer = trainer  # surfaced for tune() / callback attachment
         state = trainer.train()
         if state is not None:
             self.variables = {
@@ -191,6 +192,24 @@ class Model:
                 "batch_stats": jax.device_get(state.batch_stats),
             }
         return state
+
+    def tune(self, use_ray: bool = False, iterations: int = 10, **kwargs):
+        """Hyperparameter search (reference engine/model.py ``tune``):
+        mutation evolution by default; ``use_ray=True`` dispatches to the
+        Ray Tune ASHA search (``engine/tuner.run_ray_tune``, gated on ray)."""
+        if use_ray:
+            from .tuner import run_ray_tune
+
+            return run_ray_tune(self, max_samples=iterations, **kwargs)
+        from .tuner import Tuner
+
+        save_dir = kwargs.pop("save_dir", "runs/tune")
+
+        def train_fn(hyp):
+            self.train(**{**kwargs, **hyp})
+            return float(getattr(self.trainer, "best_fitness", 0.0) or 0.0)
+
+        return Tuner(train_fn, save_dir=save_dir)(iterations=iterations)
 
     def track(self, source, tracker: str = "bytetrack", persist: bool = False, **kwargs):
         """Frame-stream tracking (reference engine/model.py ``track`` +

@@ -304,6 +304,7 @@ class DetectionTrainer:
             self.run_callbacks("on_train_epoch_end")
             if stopper(epoch, fitness):
                 break
+        self.best_fitness = best_fitness or 0.0  # surfaced for Model.tune
         self.run_callbacks("on_train_end")
         return self.state
 

@@ -74,3 +74,54 @@ class Tuner:
                     w.writerow(["iter", "fitness"] + list(self.space))
                 w.writerow([it, fitness] + [hyp[k] for k in self.space])
         return best_hyp, best_fitness
+
+
+def run_ray_tune(
+    model,
+    space: Optional[Dict] = None,
+    grace_period: int = 10,
+    max_samples: int = 10,
+    tpu_per_trial: int = 0,
+    **train_args,
+):
+    """Ray Tune ASHA search over the training hyperparameters (reference:
+    utils/tuner.py:9 ``run_ray_tune``). Gated on ray importability — the
+    package is not in this image, so this raises a clear RuntimeError
+    locally and works wherever ``ray[tune]`` is installed.
+
+    The per-trial metric stream arrives through the trainer's
+    ``_RayTuneReporter`` integration callback (utils/callbacks.py), the
+    direct analogue of the reference's raytune callback."""
+    try:
+        from ray import train as ray_train  # noqa: F401
+        from ray import tune
+        from ray.tune.schedulers import ASHAScheduler
+    except ImportError as e:
+        raise RuntimeError(f"run_ray_tune requires ray[tune]: {e}")
+
+    if not space:
+        space = {k: tune.uniform(lo, hi) for k, (lo, hi) in DEFAULT_SPACE.items()}
+
+    def _tune(config):
+        cfg = dict(config)
+        cfg.update(train_args)
+        model.train(**cfg)
+
+    trainable = tune.with_resources(
+        _tune, {"cpu": 4, **({"TPU": tpu_per_trial} if tpu_per_trial else {})}
+    )
+    scheduler = ASHAScheduler(
+        time_attr="epoch",
+        metric=train_args.get("metric", "fitness"),
+        mode="max",
+        max_t=int(train_args.get("epochs", 100)),
+        grace_period=grace_period,
+        reduction_factor=3,
+    )
+    tuner = tune.Tuner(
+        trainable,
+        param_space=space,
+        tune_config=tune.TuneConfig(scheduler=scheduler, num_samples=max_samples),
+    )
+    results = tuner.fit()
+    return results

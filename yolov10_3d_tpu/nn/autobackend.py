@@ -2,8 +2,10 @@
 ``AutoBackend`` — suffix-keyed loading of 13 formats).
 
 TPU-native formats: native .ckpt (flax weights, rebuilt model), reference .pt
-(via the torch weight converter), and a serialized StableHLO export directory
-(AOT artifact, weights baked in). All expose ``forward(imgs NHWC fp32) ->
+(via the torch weight converter), a serialized StableHLO export directory
+(AOT artifact, weights baked in), a TF SavedModel directory, and a .tflite
+flatbuffer — i.e. every format the Exporter can emit round-trips back
+through AutoBackend. All expose ``forward(imgs NHWC fp32) ->
 (boxes_or_reg, scores, labels)`` with fixed shapes + ``warmup()``.
 """
 
@@ -21,11 +23,12 @@ class AutoBackend:
     def __init__(self, weights: str, max_det: Optional[int] = None):
         self.path = str(weights)
         p = Path(self.path)
-        self.kind = (
-            "stablehlo"
-            if p.is_dir() and (p / "model.serialized").exists()
-            else p.suffix.lstrip(".")
-        )
+        if p.is_dir() and (p / "model.serialized").exists():
+            self.kind = "stablehlo"
+        elif p.is_dir() and (p / "saved_model.pb").exists():
+            self.kind = "tf_saved_model"
+        else:
+            self.kind = p.suffix.lstrip(".")
         if self.kind == "stablehlo":
             import json
 
@@ -70,10 +73,62 @@ class AutoBackend:
 
             self._call = call
             self.input_shape = None
+        elif self.kind == "tf_saved_model":
+            import tensorflow as tf  # jax2tf export round-trip
+
+            loaded = tf.saved_model.load(self.path)
+            if hasattr(loaded, "f"):  # our Exporter writes a tf.Module with .f
+                fn = loaded.f
+
+                def call(x):
+                    out = fn(tf.constant(np.asarray(x, np.float32)))
+                    return tuple(o.numpy() for o in out)
+
+                sig = fn.input_signature[0]
+            else:  # generic serving_default signature
+                fn = loaded.signatures["serving_default"]
+                names = sorted(fn.structured_outputs)
+
+                def call(x):
+                    out = fn(tf.constant(np.asarray(x, np.float32)))
+                    return tuple(out[k].numpy() for k in names)
+
+                spec_in = fn.structured_input_signature[1]
+                sig = (
+                    next(iter(spec_in.values()))
+                    if isinstance(spec_in, dict) else spec_in[0]
+                )
+
+            self._tf = loaded  # keep alive
+            self._call = call
+            self.nc = None
+            self.names = {}
+            self.max_det = max_det
+            self.input_shape = tuple(
+                d if d is not None else 1 for d in sig.shape.as_list()
+            )
+        elif self.kind == "tflite":
+            import tensorflow as tf
+
+            interp = tf.lite.Interpreter(model_path=self.path)
+            interp.allocate_tensors()
+            inp = interp.get_input_details()[0]
+            outs = interp.get_output_details()
+
+            def call(x):
+                interp.set_tensor(inp["index"], np.asarray(x, inp["dtype"]))
+                interp.invoke()
+                return tuple(interp.get_tensor(o["index"]) for o in outs)
+
+            self._call = call
+            self.nc = None
+            self.names = {}
+            self.max_det = max_det
+            self.input_shape = tuple(int(d) for d in inp["shape"])
         else:
             raise ValueError(
-                f"unsupported weights format {self.kind!r} "
-                "(supported: .ckpt, .pt, stablehlo export dir)"
+                f"unsupported weights format {self.kind!r} (supported: .ckpt, "
+                ".pt, stablehlo export dir, TF SavedModel dir, .tflite)"
             )
 
     def forward(self, imgs) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -33,17 +33,24 @@ _INT8_MODE = False
 # activations after SiLU on a BN-normalized net are tightly bounded; a fixed
 # default scale covers them (calibrate per-deployment via calibrate_scale)
 _INT8_ACT_SCALE: object = None  # None = dynamic max-abs (slow); float = static
+_INT8_SCOPE = "k3"  # "k3" = only measured-winning k>=3 dense convs; "all"
 
 
-def set_int8_mode(enabled: bool, act_scale=8.0 / 127.0) -> None:
+def set_int8_mode(enabled: bool, act_scale=8.0 / 127.0, scope: str = "k3") -> None:
     """Enable int8 quantized convolutions for subsequently TRACED functions
     (a trace-time static switch: call before jit tracing, not inside).
     act_scale: static per-tensor activation scale (default assumes |x|<=8,
     ample for SiLU outputs on BN-normalized nets); None falls back to
-    dynamic max-abs quantization (slower: unfusable full reductions)."""
-    global _INT8_MODE, _INT8_ACT_SCALE
+    dynamic max-abs quantization (slower: unfusable full reductions).
+    scope: "k3" (default) quantizes only k>=3 dense convs — the shapes where
+    int8 measures FASTER than bf16 on v5e (1.28-1.81x; 1x1 convs measure
+    0.6-0.75x and stay bf16) — "all" quantizes every Conv."""
+    global _INT8_MODE, _INT8_ACT_SCALE, _INT8_SCOPE
     _INT8_MODE = bool(enabled)
     _INT8_ACT_SCALE = act_scale
+    if scope not in ("k3", "all"):
+        raise ValueError(f"scope must be 'k3' or 'all', got {scope!r}")
+    _INT8_SCOPE = scope
 
 
 def int8_conv(
@@ -107,7 +114,12 @@ class Conv(nn.Module):
             x = DeformableConv2d(self.c2, kh, self.s, ph, name="conv")(x)
         elif self.spd:
             x = _SPDStemConv(self.c2, name="conv")(x)
-        elif _INT8_MODE:
+        elif _INT8_MODE and (_INT8_SCOPE == "all" or (kh >= 3 and self.g == 1)):
+            # mixed-precision gate (measured on v5e b=128, PARITY.md round 2):
+            # int8 wins ONLY on k>=3 dense convs (1.28-1.81x); 1x1 convs LOSE
+            # (0.6-0.75x: the quant/requant elementwise passes cost more than
+            # the matmul saves). scope="k3" (default) quantizes just the
+            # winners; scope="all" keeps the old quantize-everything mode.
             x = _Int8Conv(
                 self.c2, (kh, kw), (self.s, self.s),
                 ((ph, ph), (pw, pw)), self.g, self.d, name="conv",

@@ -214,40 +214,13 @@ def v10_detections(
     yolov10/predict.py:8-38 applies the mask by boolean indexing — we keep the
     padded layout, TPU-friendly).
 
-    Fused fast path (VERDICT round-2 #3a): anchors are ranked by raw max
-    class logit FIRST (sigmoid is monotonic, same order as the reference's
-    post-sigmoid ranking), then the DFL expectation + dist2bbox + sigmoid run
-    only on the selected max_det anchors — 8400/300 = 28x less decode work
-    than decoding the full map like Detect.inference (head.py:53-79).
+    Perf note (measured on v5e, b=128): a "fused" variant that ranks anchors
+    by raw max logit first and decodes only the selected 300 was TRIED and
+    measured SLOWER (0.86ms vs 0.69ms) — the minor-axis take_along_axis
+    gathers cost more than the 28x saved decode FLOPs, and the whole decode
+    is <1ms of the ~31ms batch anyway. Keep the simple full-map decode.
     """
-    x, shapes = flatten_feats(feats)
-    B, A, _ = x.shape
-    anchor_points, stride_tensor = make_anchors(shapes, strides, 0.5)
-    box_logits = x[..., : 4 * REG_MAX]
-    cls_logits = x[..., 4 * REG_MAX :]
-
-    k1 = min(max_det, A)
-    max_logit = cls_logits.max(axis=-1).astype(jnp.float32)  # (B, A)
-    _, idx = jax.lax.top_k(max_logit, k1)
-    box_sel = jnp.take_along_axis(box_logits, idx[..., None], axis=1)  # (B,k1,64)
-    cls_sel = jnp.take_along_axis(cls_logits, idx[..., None], axis=1)  # (B,k1,nc)
-    anc_sel = anchor_points[idx]        # (B,k1,2)
-    strd_sel = stride_tensor[idx]       # (B,k1,1)
-
-    dist = dfl_decode(box_sel, REG_MAX)
-    boxes = dist2bbox(dist, anc_sel, xywh=False) * strd_sel
-    scores1 = jax.nn.sigmoid(cls_sel.astype(jnp.float32))
-
-    flat = scores1.reshape(B, -1)
-    k2 = min(max_det, k1 * nc)
-    top_scores, flat_idx = jax.lax.top_k(flat, k2)
-    labels = flat_idx % nc
-    anchor_idx = flat_idx // nc
-    boxes = jnp.take_along_axis(boxes, anchor_idx[..., None], axis=1)
-    if k2 < max_det:
-        pad = max_det - k2
-        boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
-        top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)), constant_values=-1.0)
-        labels = jnp.pad(labels, ((0, 0), (0, pad)))
-    valid = top_scores > conf
-    return {"boxes": boxes, "scores": top_scores, "labels": labels, "valid": valid}
+    preds = decode_detect(feats, strides, nc)
+    boxes, scores, labels = v10_postprocess(preds, max_det, nc)
+    valid = scores > conf
+    return {"boxes": boxes, "scores": scores, "labels": labels, "valid": valid}

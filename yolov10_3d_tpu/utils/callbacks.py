@@ -141,11 +141,77 @@ class _DVCLogger:
         self.live.end()
 
 
+class _ClearMLLogger:
+    """reference callbacks/clearml.py: Task.init + report_scalar per epoch."""
+
+    def __init__(self, trainer):
+        from clearml import Task
+
+        self.task = Task.init(
+            project_name=getattr(trainer.args, "project", None) or "yolov10_3d_tpu",
+            task_name=getattr(trainer.args, "name", None) or "train",
+            output_uri=False,
+            auto_connect_frameworks={"pytorch": False, "matplotlib": False},
+        )
+        self.task.connect(dict(trainer.args.to_dict()), name="General")
+
+    def metrics(self, metrics, step):
+        for k, v in metrics.items():
+            self.task.get_logger().report_scalar("train", k, float(v), step)
+
+    def end(self, trainer):
+        self.task.close()
+
+
+class _NeptuneLogger:
+    """reference callbacks/neptune.py: init_run + per-epoch appends."""
+
+    def __init__(self, trainer):
+        import neptune
+
+        self.run = neptune.init_run(
+            project=getattr(trainer.args, "project", None) or "yolov10_3d_tpu",
+            name=getattr(trainer.args, "name", None) or "train",
+        )
+        self.run["Configuration/Hyperparameters"] = {
+            k: str(v) for k, v in trainer.args.to_dict().items()
+        }
+
+    def metrics(self, metrics, step):
+        for k, v in metrics.items():
+            self.run[k].append(float(v), step=step)
+
+    def end(self, trainer):
+        self.run.stop()
+
+
+class _RayTuneReporter:
+    """reference callbacks/raytune.py: session.report metrics per fit epoch
+    when running inside a Ray Tune trial."""
+
+    def __init__(self, trainer):
+        import ray
+        from ray import train as ray_train
+
+        if not ray.tune.is_session_enabled():
+            raise RuntimeError("not in a Ray Tune session")
+        self._report = ray_train.report
+
+    def metrics(self, metrics, step):
+        self._report({**metrics, "epoch": step})
+
+    def end(self, trainer):
+        pass
+
+
 _INTEGRATIONS = {
     "mlflow": _MLflowLogger,
     "wandb": _WandbLogger,
     "comet_ml": _CometLogger,
     "dvclive": _DVCLogger,
+    "clearml": _ClearMLLogger,
+    "neptune": _NeptuneLogger,
+    "ray": _RayTuneReporter,
 }
 
 
