@@ -204,6 +204,39 @@ class _RayTuneReporter:
         pass
 
 
+class _NotionLogger:
+    """fork reference callbacks/notion_upload.py: push run args + per-epoch
+    metrics to a Notion database (gated on notion-client + NOTION_TOKEN)."""
+
+    def __init__(self, trainer):
+        import os
+
+        from notion_client import Client
+
+        token = os.environ.get("NOTION_TOKEN")
+        self.database_id = os.environ.get("NOTION_DATABASE_ID")
+        if not token or not self.database_id:
+            raise RuntimeError("NOTION_TOKEN/NOTION_DATABASE_ID not set")
+        self.client = Client(auth=token)
+        self.page = self.client.pages.create(
+            parent={"database_id": self.database_id},
+            properties={
+                "Name": {"title": [{"text": {
+                    "content": getattr(trainer.args, "name", None) or "train"}}]},
+            },
+        )
+
+    def metrics(self, metrics, step):
+        body = "\n".join(f"epoch {step} {k}: {v:.5g}" for k, v in metrics.items())
+        self.client.blocks.children.append(
+            self.page["id"],
+            children=[{"paragraph": {"rich_text": [{"text": {"content": body[:1990]}}]}}],
+        )
+
+    def end(self, trainer):
+        pass
+
+
 _INTEGRATIONS = {
     "mlflow": _MLflowLogger,
     "wandb": _WandbLogger,
@@ -212,6 +245,7 @@ _INTEGRATIONS = {
     "clearml": _ClearMLLogger,
     "neptune": _NeptuneLogger,
     "ray": _RayTuneReporter,
+    "notion_client": _NotionLogger,
 }
 
 

@@ -302,3 +302,94 @@ class KITTIVisualizer:
         fig.savefig(fname, dpi=120)
         plt.close(fig)
         return str(fname)
+
+
+def plot_labels(boxes, cls, names=None, save_dir: str = ".") -> Optional[str]:
+    """Label-distribution panel: class histogram, box-center heat, w/h
+    scatter (reference plotting.py:608 ``plot_labels``). boxes: (N, 4)
+    normalized xywh; cls: (N,)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+    boxes = np.asarray(boxes, np.float64).reshape(-1, 4)
+    cls = np.asarray(cls).reshape(-1)
+    fig, axes = plt.subplots(2, 2, figsize=(8, 8))
+    nc = int(cls.max()) + 1 if len(cls) else 1
+    axes[0, 0].hist(cls, bins=np.arange(nc + 1) - 0.5, rwidth=0.8)
+    axes[0, 0].set_title("classes")
+    if names:
+        axes[0, 0].set_xticks(range(nc))
+        axes[0, 0].set_xticklabels(
+            [str(names.get(i, i)) for i in range(nc)], rotation=90, fontsize=6
+        )
+    axes[0, 1].hist2d(boxes[:, 0], boxes[:, 1], bins=50, cmap="Blues")
+    axes[0, 1].set_title("xy centers")
+    axes[1, 0].hist2d(boxes[:, 2], boxes[:, 3], bins=50, cmap="Blues")
+    axes[1, 0].set_title("wh")
+    axes[1, 1].scatter(boxes[:, 2], boxes[:, 3], s=2, alpha=0.3)
+    axes[1, 1].set_title("wh scatter")
+    fig.tight_layout()
+    out = str(Path(save_dir) / "labels.jpg")
+    Path(save_dir).mkdir(parents=True, exist_ok=True)
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return out
+
+
+def plot_labels_3D(depths, sizes_3d, cls, save_dir: str = ".") -> Optional[str]:
+    """3D label distribution: depth histogram + per-class size boxplots
+    (fork reference plotting.py:717 ``plot_labels_3D``)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+    depths = np.asarray(depths, np.float64).reshape(-1)
+    sizes = np.asarray(sizes_3d, np.float64).reshape(-1, 3)
+    cls = np.asarray(cls).reshape(-1)
+    fig, axes = plt.subplots(1, 3, figsize=(12, 4))
+    axes[0].hist(depths, bins=60)
+    axes[0].set_title("depth (m)")
+    for i, name in enumerate(("h", "w", "l")):
+        for c in np.unique(cls):
+            axes[1].hist(sizes[cls == c, i], bins=30, alpha=0.4,
+                         label=f"{name} cls{int(c)}" if i == 0 else None)
+    axes[1].set_title("3D sizes")
+    axes[2].scatter(depths, sizes[: len(depths), 0] if len(sizes) else [], s=2, alpha=0.3)
+    axes[2].set_title("depth vs height")
+    fig.tight_layout()
+    out = str(Path(save_dir) / "labels_3d.jpg")
+    Path(save_dir).mkdir(parents=True, exist_ok=True)
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return out
+
+
+def plot_training_depth_dist(pred_depths, gt_depths, save_dir: str = ".", epoch: int = 0) -> Optional[str]:
+    """Predicted-vs-GT depth distribution per epoch (fork reference
+    plotting.py:743)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.hist(np.asarray(gt_depths).reshape(-1), bins=60, alpha=0.5, label="gt")
+    ax.hist(np.asarray(pred_depths).reshape(-1), bins=60, alpha=0.5, label="pred")
+    ax.legend()
+    ax.set_xlabel("depth (m)")
+    ax.set_title(f"depth distribution, epoch {epoch}")
+    fig.tight_layout()
+    out = str(Path(save_dir) / f"depth_dist_e{epoch}.jpg")
+    Path(save_dir).mkdir(parents=True, exist_ok=True)
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return out
