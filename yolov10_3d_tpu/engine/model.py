@@ -162,11 +162,41 @@ class Model:
                 save_dir=kwargs.get("save_dir", "runs/val3d"),
                 conf_threshold=kwargs.get("conf", 0.001),
             )
+        imgsz = kwargs.get("imgsz", 640)
+        head = self.spec.head_module
+        val_root = Path(d.get("path", ".")) / d["val"]
+        if head == "Classify":
+            from ..data.dataset_tasks import ClassificationDataset
+            from .validator_tasks import ClassificationValidator
+
+            ds = ClassificationDataset(val_root, imgsz=kwargs.get("imgsz", 224))
+            loader = DataLoader(ds, batch, shuffle=False, drop_last=False)
+            return ClassificationValidator(self.model, self.spec, args, ds.names)(
+                self.variables, loader
+            )
+        if head in ("Segment", "Pose", "OBB"):
+            from ..data.dataset import YOLODataset
+            from ..data.dataset_tasks import PoseEvalDataset, SegmentationEvalDataset
+            from .validator_tasks import OBBValidator, PoseValidator, SegmentationValidator
+
+            if head == "Segment":
+                ds = SegmentationEvalDataset(val_root, imgsz=imgsz, augment=False)
+                validator = SegmentationValidator(self.model, self.spec, args, d["names"])
+            elif head == "Pose":
+                kpt_shape = tuple(d.get("kpt_shape", (17, 3)))
+                ds = PoseEvalDataset(val_root, imgsz=imgsz, augment=False, kpt_shape=kpt_shape)
+                validator = PoseValidator(
+                    self.model, self.spec, args, d["names"], kpt_shape=kpt_shape
+                )
+            else:  # OBB: detect-format labels with an angle column via dataset yaml
+                ds = YOLODataset(val_root, imgsz=imgsz, augment=False)
+                validator = OBBValidator(self.model, self.spec, args, d["names"])
+            loader = DataLoader(ds, batch, shuffle=False, drop_last=False)
+            return validator(self.variables, loader, conf=kwargs.get("conf", 0.001))
         from ..data.dataset import YOLODataset
         from .validator import DetectionValidator
 
-        imgsz = kwargs.get("imgsz", 640)
-        ds = YOLODataset(Path(d.get("path", ".")) / d["val"], imgsz=imgsz, augment=False)
+        ds = YOLODataset(val_root, imgsz=imgsz, augment=False)
         loader = DataLoader(ds, batch, shuffle=False, drop_last=False)
         validator = DetectionValidator(self.model, self.spec, args, d["names"])
         return validator(self.variables, loader, conf=kwargs.get("conf", 0.001))

@@ -43,9 +43,13 @@ def non_max_suppression(
     pre_topk: int = 1024,
     agnostic: bool = False,
     max_wh: float = 7680.0,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    extra: jax.Array = None,   # (B, A, E) per-anchor payload to carry through
+) -> Tuple[jax.Array, ...]:
     """Batched fixed-shape NMS. Returns (boxes xyxy (B,max_det,4), scores,
-    labels, valid) padded with zeros/False."""
+    labels, valid) padded with zeros/False; with `extra` given, a fifth
+    (B, max_det, E) array gathers the payload of the kept detections (the
+    reference keeps mask coefs / kpts / angle columns concatenated onto the
+    prediction rows through NMS, ops.py:163)."""
     nc = preds.shape[-1] - 4
     boxes_xywh, cls_scores = preds[..., :4], preds[..., 4:]
     scores = cls_scores.max(-1)
@@ -73,12 +77,21 @@ def non_max_suppression(
     out_labels = jnp.take_along_axis(top_labels, order, axis=1)
     out_valid = jnp.take_along_axis(keep, order, axis=1)
     out_boxes = out_boxes * out_valid[..., None]
+    out_extra = None
+    if extra is not None:
+        top_extra = jnp.take_along_axis(extra, idx[..., None], axis=1)
+        out_extra = jnp.take_along_axis(top_extra, order[..., None], axis=1)
+        out_extra = out_extra * out_valid[..., None]
     if max_det > order.shape[1]:
         pad = max_det - order.shape[1]
         out_boxes = jnp.pad(out_boxes, ((0, 0), (0, pad), (0, 0)))
         out_scores = jnp.pad(out_scores, ((0, 0), (0, pad)))
         out_labels = jnp.pad(out_labels, ((0, 0), (0, pad)))
         out_valid = jnp.pad(out_valid, ((0, 0), (0, pad)))
+        if out_extra is not None:
+            out_extra = jnp.pad(out_extra, ((0, 0), (0, pad), (0, 0)))
+    if out_extra is not None:
+        return out_boxes, out_scores * out_valid, out_labels, out_valid, out_extra
     return out_boxes, out_scores * out_valid, out_labels, out_valid
 
 
