@@ -119,3 +119,37 @@ def test_obb_validator_synthetic():
     }
     res = OBBValidator(model, spec)(v, [batch], conf=0.001)
     assert "fitness" in res and np.isfinite(res["fitness"])
+
+
+@pytest.mark.parametrize(
+    "yaml_name,field",
+    [
+        ("yolov8.yaml", "boxes"),
+        ("yolov8-seg.yaml", "masks"),
+        ("yolov8-pose.yaml", "keypoints"),
+        ("yolov8-obb.yaml", "obb"),
+        ("yolov8-cls.yaml", "probs"),
+        ("rtdetr-l.yaml", "boxes"),
+    ],
+)
+def test_predict_all_heads(yaml_name, field):
+    """Model.predict works for every head family and fills the right
+    Results field (reference task_map predictor dispatch)."""
+    from yolov10_3d_tpu.engine.model import YOLO
+
+    m = YOLO(yaml_name)
+    img = np.random.default_rng(0).integers(0, 255, (48, 56, 3), np.uint8)
+    res = m.predict(img, imgsz=64, conf=0.0)[0]
+    val = getattr(res, field)
+    assert val is not None
+    if field == "probs":
+        assert 0 <= val.top1 < 1000 and len(val.top5) == 5
+    elif field == "masks":
+        assert val.data.shape[-2:] == (48, 56)
+    elif field == "keypoints":
+        assert val.data.shape[1:] == (17, 3)
+        assert (val.xy[..., 0] <= 56).all() and (val.xy[..., 1] <= 48).all()
+    elif field == "obb":
+        assert val.data.shape[-1] == 7
+        corners = val.xyxyxyxy
+        assert corners.shape[1:] == (4, 2)

@@ -104,6 +104,42 @@ def _scale_boxes_np(boxes, from_shape, to_shape):
     return boxes
 
 
+def _letterbox_geom(from_shape, to_shape):
+    gain = min(from_shape[0] / to_shape[0], from_shape[1] / to_shape[1])
+    pad_w = round((from_shape[1] - to_shape[1] * gain) / 2 - 0.1)
+    pad_h = round((from_shape[0] - to_shape[0] * gain) / 2 - 0.1)
+    return gain, pad_w, pad_h
+
+
+def _scale_kpts_np(kpts, from_shape, to_shape):
+    """(N, nk, 2|3) letterboxed-pixel keypoints -> original coords
+    (reference ops.py ``scale_coords``)."""
+    gain, pad_w, pad_h = _letterbox_geom(from_shape, to_shape)
+    kpts = kpts.copy()
+    kpts[..., 0] = ((kpts[..., 0] - pad_w) / gain).clip(0, to_shape[1])
+    kpts[..., 1] = ((kpts[..., 1] - pad_h) / gain).clip(0, to_shape[0])
+    return kpts
+
+
+def _scale_masks_np(masks, from_shape, to_shape):
+    """(N, hm, wm) proto-resolution masks (relative to the letterboxed
+    from_shape) -> (N, oh, ow) at original resolution (reference
+    ops.py:700 ``scale_masks``; nearest resize)."""
+    if len(masks) == 0:
+        return np.zeros((0, *to_shape), masks.dtype)
+    gain, pad_w, pad_h = _letterbox_geom(from_shape, to_shape)
+    sy = masks.shape[-2] / from_shape[0]
+    sx = masks.shape[-1] / from_shape[1]
+    y1, x1 = int(round(pad_h * sy)), int(round(pad_w * sx))
+    y2 = masks.shape[-2] - y1
+    x2 = masks.shape[-1] - x1
+    crop = masks[:, y1:max(y2, y1 + 1), x1:max(x2, x1 + 1)]
+    oh, ow = to_shape
+    ys = (np.arange(oh) * crop.shape[-2] / oh).astype(int)
+    xs = (np.arange(ow) * crop.shape[-1] / ow).astype(int)
+    return crop[:, ys[:, None], xs[None, :]]
+
+
 class Predictor:
     """NMS-free detection predictor."""
 
@@ -113,26 +149,121 @@ class Predictor:
         self.variables = variables
         self.args = args
         self.names = names or {i: str(i) for i in range(spec.nc)}
-        self.task3d = spec.head_module == "v10Detect3d"
+        # head-module -> predict task (reference task_map ``predictor`` slot)
+        self.task = {
+            "v10Detect3d": "detect3d", "Segment": "segment", "Pose": "pose",
+            "OBB": "obb", "Classify": "classify", "RTDETRDecoder": "rtdetr",
+        }.get(spec.head_module, "detect")
+        self.task3d = self.task == "detect3d"
+        # v10 heads are NMS-free (dict output); Detect/WorldDetect need NMS
+        self.nms_free = spec.head_module in ("v10Detect",)
 
     @functools.lru_cache(maxsize=8)
     def _forward_fn(self, max_det: int):
+        """Jitted forward+decode per task; every branch returns a tuple of
+        fixed-shape arrays consumed by ``_process_chunk``."""
         spec = self.spec
 
-        if self.task3d:
+        def norm(x):
+            return x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
+
+        if self.task == "detect3d":
             @jax.jit
             def fwd(variables, x):
-                x = x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
-                feats = self.model.apply(variables, x, train=False)["one2one"]
+                feats = self.model.apply(variables, norm(x), train=False)["one2one"]
                 nl = len(feats)
                 preds = decode_detect3d(feats, spec.strides[:nl], spec.nc)
                 reg, scores, labels = v10_3d_postprocess(preds, max_det, spec.nc)
                 return reg, jax.nn.sigmoid(scores), labels
+        elif self.task == "classify":
+            @jax.jit
+            def fwd(variables, x):
+                logits = self.model.apply(variables, norm(x), train=False)
+                return (jax.nn.softmax(logits, -1),)
+        elif self.task == "rtdetr":
+            @jax.jit
+            def fwd(variables, x):
+                out = self.model.apply(variables, norm(x), train=False)
+                pred = out["pred"] if isinstance(out, dict) else out
+                H, W = x.shape[1], x.shape[2]
+                xywh = pred[..., :4] * jnp.asarray([W, H, W, H], jnp.float32)
+                from ..ops.boxes import xywh2xyxy
+
+                boxes = xywh2xyxy(xywh)
+                scores = jax.nn.sigmoid(pred[..., 4:].astype(jnp.float32))
+                # flat top-k over (query, class) pairs (reference
+                # models/rtdetr/predict.py postprocess)
+                B, nq, nc = scores.shape
+                k = min(max_det, nq * nc)
+                top, idx = jax.lax.top_k(scores.reshape(B, -1), k)
+                labels = idx % nc
+                qidx = idx // nc
+                boxes = jnp.take_along_axis(boxes, qidx[..., None], axis=1)
+                return boxes, top, labels
+        elif self.task == "segment":
+            from ..ops.boxes import xyxy2xywh
+            from ..ops.nms import non_max_suppression
+            from ..ops.postprocess import decode_detect, flatten_feats, process_masks
+
+            @jax.jit
+            def fwd(variables, x):
+                xn = norm(x)
+                out = self.model.apply(variables, xn, train=False)
+                nl = len(out["det"])
+                preds = decode_detect(out["det"], spec.strides[:nl], spec.nc)
+                preds = jnp.concatenate([xyxy2xywh(preds[..., :4]), preds[..., 4:]], -1)
+                mc, _ = flatten_feats(out["mask_coefs"])
+                boxes, scores, labels, valid, coefs = non_max_suppression(
+                    preds, conf_thres=0.001, max_det=max_det, extra=mc
+                )
+                masks = process_masks(out["protos"], coefs, boxes, (xn.shape[1], xn.shape[2]))
+                return boxes, scores, labels, masks > 0.5
+        elif self.task == "pose":
+            from ..ops.boxes import xyxy2xywh
+            from ..ops.nms import non_max_suppression
+            from ..ops.postprocess import decode_detect, decode_kpts
+
+            kpt_shape = tuple(
+                (spec.yaml_extras or {}).get("kpt_shape", (17, 3))
+            ) if hasattr(spec, "yaml_extras") else (17, 3)
+            nk, nd = kpt_shape
+
+            @jax.jit
+            def fwd(variables, x):
+                out = self.model.apply(variables, norm(x), train=False)
+                nl = len(out["det"])
+                preds = decode_detect(out["det"], spec.strides[:nl], spec.nc)
+                preds = jnp.concatenate([xyxy2xywh(preds[..., :4]), preds[..., 4:]], -1)
+                kpts = decode_kpts(out["kpts"], spec.strides[:nl], (nk, nd))
+                boxes, scores, labels, valid, kq = non_max_suppression(
+                    preds, conf_thres=0.001, max_det=max_det, extra=kpts
+                )
+                return boxes, scores, labels, kq.reshape(*kq.shape[:2], nk, nd)
+        elif self.task == "obb":
+            from .validator_tasks import OBBValidator
+
+            obb_fwd = OBBValidator(self.model, spec)._forward_fn(max_det, 0.001, 0.7)
+
+            @jax.jit
+            def fwd(variables, x):
+                rbox, scores, labels, valid = obb_fwd(variables, x)
+                return rbox, scores, labels
+        elif not self.nms_free:  # v8-family Detect / WorldDetect: NMS path
+            from ..ops.postprocess import v8_detections
+
+            @jax.jit
+            def fwd(variables, x):
+                feats = self.model.apply(variables, norm(x), train=False)
+                if isinstance(feats, dict):
+                    feats = feats.get("one2one", feats)
+                det = v8_detections(
+                    feats, spec.strides, spec.nc, conf=0.001, max_det=max_det
+                )
+                return det["boxes"], det["scores"], det["labels"]
         else:
             @jax.jit
             def fwd(variables, x):
-                x = x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
-                feats = self.model.apply(variables, x, train=False)["one2one"]
+                feats = self.model.apply(variables, norm(x), train=False)["one2one"]
                 det = v10_detections(feats, spec.strides, spec.nc, max_det=max_det)
                 return det["boxes"], det["scores"], det["labels"]
 
@@ -157,7 +288,8 @@ class Predictor:
         conf = conf if conf is not None else (self.args.get("conf") or 0.25)
         max_det = max_det or self.args.get("max_det") or (50 if self.task3d else 300)
         imgsz = check_imgsz(
-            imgsz or self.args.get("imgsz") or 640, stride=max(self.spec.strides)
+            imgsz or self.args.get("imgsz") or 640,
+            stride=max(self.spec.strides) if self.spec.strides else 32,
         )
         return conf, max_det, imgsz
 
@@ -185,10 +317,19 @@ class Predictor:
             model_hw = batch.shape[1:3]
         t1 = time.perf_counter()
         out = fwd(self.variables, x)
-        boxes_or_reg, scores, labels = (np.asarray(o) for o in out)
+        out = tuple(np.asarray(o) for o in out)
         t2 = time.perf_counter()
         results = []
         for j, (path, img) in enumerate(chunk):
+            if self.task == "classify":
+                res = Results(img, path=path, names=self.names, probs=out[0][j])
+                res.speed = {
+                    "preprocess": (t1 - t0) / len(chunk) * 1e3,
+                    "inference": (t2 - t1) / len(chunk) * 1e3,
+                }
+                results.append(res)
+                continue
+            boxes_or_reg, scores, labels = out[0], out[1], out[2]
             keep = scores[j] > conf
             if classes is not None:
                 keep &= np.isin(labels[j], np.asarray(classes))
@@ -204,6 +345,30 @@ class Predictor:
                                             np.zeros((len(b), 4), np.float32),
                                             reg[:, -1:],], -1)[:, :16],
                 )
+            elif self.task == "obb":
+                rbox = boxes_or_reg[j][keep].copy()  # (K, 5) xywhr model px
+                gain, pad_w, pad_h = _letterbox_geom(model_hw, img.shape[:2])
+                rbox[:, 0] = (rbox[:, 0] - pad_w) / gain
+                rbox[:, 1] = (rbox[:, 1] - pad_h) / gain
+                rbox[:, 2:4] = rbox[:, 2:4] / gain
+                obb = np.concatenate(
+                    [rbox, scores[j][keep, None], labels[j][keep, None]], -1
+                )
+                res = Results(img, path=path, names=self.names, obb=obb)
+            elif self.task == "segment":
+                b = _scale_boxes_np(boxes_or_reg[j][keep], model_hw, img.shape[:2])
+                det = np.concatenate(
+                    [b, scores[j][keep, None], labels[j][keep, None]], -1
+                )
+                masks = _scale_masks_np(out[3][j][keep], model_hw, img.shape[:2])
+                res = Results(img, path=path, names=self.names, boxes=det, masks=masks)
+            elif self.task == "pose":
+                b = _scale_boxes_np(boxes_or_reg[j][keep], model_hw, img.shape[:2])
+                det = np.concatenate(
+                    [b, scores[j][keep, None], labels[j][keep, None]], -1
+                )
+                kpts = _scale_kpts_np(out[3][j][keep], model_hw, img.shape[:2])
+                res = Results(img, path=path, names=self.names, boxes=det, keypoints=kpts)
             else:
                 b = _scale_boxes_np(boxes_or_reg[j][keep], model_hw, img.shape[:2])
                 det = np.concatenate(

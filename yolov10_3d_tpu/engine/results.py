@@ -78,6 +78,108 @@ class Boxes3D(Boxes):
         return self.data[:, 15]
 
 
+class Masks:
+    """Per-detection binary masks (reference results.py ``Masks``)."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = np.asarray(data)  # (N, h, w) bool/uint8
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    @property
+    def xy(self):
+        """Mask contours as pixel polygons in the stored mask frame (a
+        bounding-rect approximation; the reference traces cv2 contours)."""
+        polys = []
+        for m in self.data:
+            ys, xs = np.nonzero(m)
+            if len(xs) == 0:
+                polys.append(np.zeros((0, 2), np.float32))
+                continue
+            x1, x2, y1, y2 = xs.min(), xs.max(), ys.min(), ys.max()
+            polys.append(np.array([[x1, y1], [x2, y1], [x2, y2], [x1, y2]], np.float32))
+        return polys
+
+
+class Keypoints:
+    """Per-detection pose keypoints (reference results.py ``Keypoints``)."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = np.asarray(data)  # (N, nk, 2|3) pixels (+ conf)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    @property
+    def xy(self):
+        return self.data[..., :2]
+
+    @property
+    def conf(self):
+        return self.data[..., 2] if self.data.shape[-1] >= 3 else None
+
+
+class Probs:
+    """Classification probabilities (reference results.py ``Probs``)."""
+
+    def __init__(self, data: np.ndarray):
+        self.data = np.asarray(data).reshape(-1)
+
+    @property
+    def top1(self) -> int:
+        return int(self.data.argmax())
+
+    @property
+    def top5(self):
+        return np.argsort(-self.data)[:5].tolist()
+
+    @property
+    def top1conf(self) -> float:
+        return float(self.data.max())
+
+    @property
+    def top5conf(self):
+        return np.sort(self.data)[::-1][:5]
+
+
+class OBBoxes:
+    """Rotated detections (reference results.py ``OBB``): rows
+    (cx, cy, w, h, r, conf, cls) in original-image pixels."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = np.asarray(data).reshape(-1, 7)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    @property
+    def xywhr(self):
+        return self.data[:, :5]
+
+    @property
+    def conf(self):
+        return self.data[:, 5]
+
+    @property
+    def cls(self):
+        return self.data[:, 6]
+
+    @property
+    def xyxyxyxy(self):
+        """(N, 4, 2) rotated corner points."""
+        cx, cy, w, h, r = (self.data[:, i] for i in range(5))
+        cos, sin = np.cos(r), np.sin(r)
+        dx = np.stack([w / 2, w / 2, -w / 2, -w / 2], -1)
+        dy = np.stack([h / 2, -h / 2, -h / 2, h / 2], -1)
+        x = cx[:, None] + dx * cos[:, None] - dy * sin[:, None]
+        y = cy[:, None] + dx * sin[:, None] + dy * cos[:, None]
+        return np.stack([x, y], -1)
+
+
 class Results:
     """Per-image inference result (reference results.py ``Results``)."""
 
@@ -88,6 +190,10 @@ class Results:
         names: Optional[Dict[int, str]] = None,
         boxes: Optional[np.ndarray] = None,
         boxes3d: Optional[np.ndarray] = None,
+        masks: Optional[np.ndarray] = None,
+        keypoints: Optional[np.ndarray] = None,
+        probs: Optional[np.ndarray] = None,
+        obb: Optional[np.ndarray] = None,
         speed: Optional[Dict[str, float]] = None,
     ):
         self.orig_img = orig_img
@@ -98,6 +204,12 @@ class Results:
         self.boxes3d = (
             Boxes3D(boxes3d, self.orig_shape) if boxes3d is not None else None
         )
+        self.masks = Masks(masks, self.orig_shape) if masks is not None else None
+        self.keypoints = (
+            Keypoints(keypoints, self.orig_shape) if keypoints is not None else None
+        )
+        self.probs = Probs(probs) if probs is not None else None
+        self.obb = OBBoxes(obb, self.orig_shape) if obb is not None else None
         self.speed = speed or {}
 
     def __len__(self):
