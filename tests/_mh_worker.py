@@ -92,6 +92,24 @@ loader = DataLoader(
     DS(), batch_size=4, shuffle=True, seed=0, shard_index=proc_id, num_shards=2,
     num_threads=2,
 )
+# AOT-compile the sharded step BEFORE the first collective executes, then
+# rendezvous: Gloo's context init has a hard ~30s KV timeout, and on a loaded
+# box one process's cold compile can lag past it (the AOT cache does not load
+# here — machine-feature mismatch). Compiling first + a coordination-service
+# barrier (generous timeout) makes both processes hit the psum together.
+warm = {
+    "img": np.zeros((4, 64, 64, 3), np.float32),
+    "gt_labels": np.zeros((4, 5), np.int32),
+    "gt_bboxes": np.zeros((4, 5, 4), np.float32),
+    "mask_gt": np.ones((4, 5), bool),
+    "im_id": np.zeros((4,), np.int64),
+}
+gb0 = make_global_batch(warm, mesh)
+pstep.lower(state, gb0).compile()
+from jax._src import distributed as _dist
+
+_dist.global_state.client.wait_at_barrier("mh_precompiled", 600_000)
+
 seen = []
 losses = []
 for epoch in range(2):
@@ -116,3 +134,11 @@ stop = broadcast_flag(proc_id == 0)
 assert stop is True
 
 print(f"MHRESULT proc={proc_id} losses={losses} seen={sorted(seen)}", flush=True)
+
+# explicit cross-process sync before interpreter exit: under a loaded box one
+# worker can lag (cold compiles) and miss jax.distributed's implicit shutdown
+# barrier window, failing the run spuriously
+from jax.experimental import multihost_utils
+
+multihost_utils.sync_global_devices("mh_worker_done")
+jax.distributed.shutdown()

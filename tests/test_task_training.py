@@ -1,0 +1,89 @@
+"""v8 task training end-to-end: seg / pose / classify one-epoch runs on
+synthetic data (reference models/yolo/{segment,pose,classify}/train.py via
+task_map) — finite losses, per-epoch task validation, checkpoints."""
+
+import numpy as np
+import pytest
+
+
+def _make_img(path, size=(64, 64)):
+    from PIL import Image
+
+    rng = np.random.default_rng(abs(hash(str(path))) % 2**32)
+    Image.fromarray(
+        rng.integers(0, 255, (size[1], size[0], 3), np.uint8)
+    ).save(path)
+
+
+def _det_tree(tmp_path, label_line_fn, n=4):
+    img_dir = tmp_path / "train" / "images"
+    lbl_dir = tmp_path / "train" / "labels"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    for i in range(n):
+        _make_img(img_dir / f"{i}.jpg")
+        (lbl_dir / f"{i}.txt").write_text(label_line_fn(i))
+    return "train/images"
+
+
+def _yaml(tmp_path, split, extra=""):
+    y = tmp_path / "data.yaml"
+    y.write_text(
+        f"path: {tmp_path}\ntrain: {split}\nval: {split}\n"
+        f"names:\n  0: a\n  1: b\n{extra}"
+    )
+    return str(y)
+
+
+def _train(model_yaml, data, tmp_path, **kw):
+    from yolov10_3d_tpu.engine.model import YOLO
+
+    m = YOLO(model_yaml)
+    state = m.train(
+        data=data, epochs=1, batch=2, imgsz=64, workers=0, amp=False,
+        save_dir=str(tmp_path / "run"), val_period=1, **kw
+    )
+    assert state is not None
+    assert (tmp_path / "run" / "weights" / "best.ckpt").exists()
+    return m
+
+
+def test_segmentation_training_e2e(tmp_path):
+    split = _det_tree(
+        tmp_path,
+        lambda i: "0 0.2 0.2 0.6 0.2 0.6 0.6 0.2 0.6\n1 0.7 0.7 0.9 0.7 0.8 0.9\n",
+    )
+    m = _train("yolov8-seg.yaml", _yaml(tmp_path, split), tmp_path)
+    assert getattr(m.trainer, "best_fitness", None) is not None
+    from yolov10_3d_tpu.engine.trainer_tasks import SegmentationTrainer
+
+    assert isinstance(m.trainer, SegmentationTrainer)
+
+
+def test_pose_training_e2e(tmp_path):
+    nk = 17
+    rng = np.random.default_rng(0)
+
+    def line(i):
+        kp = " ".join(f"{v:.3f}" for v in rng.uniform(0.2, 0.8, nk * 3))
+        return f"0 0.5 0.5 0.4 0.4 {kp}\n"
+
+    split = _det_tree(tmp_path, line)
+    data = _yaml(tmp_path, split, extra="kpt_shape: [17, 3]\n")
+    m = _train("yolov8-pose.yaml", data, tmp_path)
+    from yolov10_3d_tpu.engine.trainer_tasks import PoseTrainer
+
+    assert isinstance(m.trainer, PoseTrainer)
+
+
+def test_classification_training_e2e(tmp_path):
+    for cls in ("a", "b"):
+        d = tmp_path / "train" / cls
+        d.mkdir(parents=True)
+        for i in range(3):
+            _make_img(d / f"{i}.jpg")
+    data = _yaml(tmp_path, "train")
+    m = _train("yolov8-cls.yaml", data, tmp_path)
+    from yolov10_3d_tpu.engine.trainer_tasks import ClassificationTrainer
+
+    assert isinstance(m.trainer, ClassificationTrainer)

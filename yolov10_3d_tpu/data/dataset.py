@@ -349,7 +349,7 @@ class DataLoader:
         self.shard_index = shard_index
         self.num_shards = num_shards
         self.prefetch = prefetch
-        self.num_threads = num_threads
+        self.num_threads = max(1, int(num_threads))  # workers=0 == same-thread-ish
         self.rect = rect
         self.multi_scale = multi_scale
         self.scale_choices = tuple(scale_choices)

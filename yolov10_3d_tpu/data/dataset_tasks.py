@@ -148,3 +148,58 @@ class ClassificationDataset:
             "img": np.asarray(img, np.uint8),
             "gt_labels": np.asarray(cls, np.int32),
         }
+
+
+class OBBEvalDataset(YOLODataset):
+    """DOTA-format OBB labels: `cls x1 y1 x2 y2 x3 y3 x4 y4` normalized
+    corner rows (reference data/dataset.py task='obb' + ops
+    xyxyxyxy2xywhr). Emits detect keys with gt_bboxes (M, 5) = normalized
+    xywh + angle rad, the obb_loss/OBBValidator contract."""
+
+    def __init__(self, *args, **kwargs):
+        self._corners: Dict[int, np.ndarray] = {}
+        super().__init__(*args, **kwargs)
+
+    def _load_labels(self, root):
+        return [self._parse_label_file(i) for i in range(len(self.im_files))]
+
+    def _parse_label_file(self, i: int) -> np.ndarray:
+        p = Path(self.label_files[i])
+        rows, corners = [], []
+        if p.exists():
+            for ln in p.read_text().splitlines():
+                vals = ln.split()
+                if len(vals) != 9:
+                    continue
+                cls = float(vals[0])
+                pts = np.array(vals[1:], np.float32).reshape(4, 2)
+                x1, y1 = pts.min(0)
+                x2, y2 = pts.max(0)
+                rows.append([cls, (x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1])
+                corners.append(pts)
+        self._corners[i] = (
+            np.stack(corners) if corners else np.zeros((0, 4, 2), np.float32)
+        )
+        return np.array(rows, np.float32).reshape(-1, 5)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        out = super().__getitem__(i)
+        h, w = out["img"].shape[:2]
+        M = self.max_boxes
+        raw = np.asarray(self._load_cached_image(i))
+        rh, rw = raw.shape[:2]
+        _, ratio, (dw, dh) = letterbox(raw, (h, w), scaleup=False)
+        gt5 = np.zeros((M, 5), np.float32)
+        corners = self._corners.get(i, np.zeros((0, 4, 2), np.float32))[:M]
+        for j, pts in enumerate(corners):
+            px = pts * np.array([rw, rh], np.float32) * ratio + np.array(
+                [dw, dh], np.float32
+            )
+            c = px.mean(0)
+            e1 = px[1] - px[0]
+            e2 = px[2] - px[1]
+            wr, hr = float(np.linalg.norm(e1)), float(np.linalg.norm(e2))
+            ang = float(np.arctan2(e1[1], e1[0]))
+            gt5[j] = [c[0] / w, c[1] / h, wr / w, hr / h, ang]
+        out["gt_bboxes"] = gt5
+        return out

@@ -188,8 +188,10 @@ class Model:
                 validator = PoseValidator(
                     self.model, self.spec, args, d["names"], kpt_shape=kpt_shape
                 )
-            else:  # OBB: detect-format labels with an angle column via dataset yaml
-                ds = YOLODataset(val_root, imgsz=imgsz, augment=False)
+            else:  # OBB: DOTA corner-format labels -> xywhr
+                from ..data.dataset_tasks import OBBEvalDataset
+
+                ds = OBBEvalDataset(val_root, imgsz=imgsz, augment=False)
                 validator = OBBValidator(self.model, self.spec, args, d["names"])
             loader = DataLoader(ds, batch, shuffle=False, drop_last=False)
             return validator(self.variables, loader, conf=kwargs.get("conf", 0.001))
@@ -212,7 +214,9 @@ class Model:
         elif self.spec.head_module == "RTDETRDecoder":
             cls = RTDETRTrainer
         else:
-            cls = DetectionTrainer
+            from .trainer_tasks import TASK_TRAINERS
+
+            cls = TASK_TRAINERS.get(self.spec.head_module, DetectionTrainer)
         trainer = cls(cfg)
         self.trainer = trainer  # surfaced for tune() / callback attachment
         state = trainer.train()
