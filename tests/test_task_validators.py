@@ -130,6 +130,9 @@ def test_obb_validator_synthetic():
         ("yolov8-obb.yaml", "obb"),
         ("yolov8-cls.yaml", "probs"),
         ("rtdetr-l.yaml", "boxes"),
+        ("yolov5.yaml", "boxes"),
+        ("yolov9c.yaml", "boxes"),
+        ("yolov8-world.yaml", "boxes"),
     ],
 )
 def test_predict_all_heads(yaml_name, field):
