@@ -156,3 +156,21 @@ def test_predict_all_heads(yaml_name, field):
         assert val.data.shape[-1] == 7
         corners = val.xyxyxyxy
         assert corners.shape[1:] == (4, 2)
+
+
+def test_cli_task_words(tmp_path):
+    """`yolo10 segment predict ...` grammar accepts the task vocabulary
+    (reference cfg/__init__.py entrypoint TASKS)."""
+    from PIL import Image
+
+    from yolov10_3d_tpu.cfg.cli import entrypoint
+
+    img = tmp_path / "x.jpg"
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (48, 48, 3), np.uint8)
+    ).save(img)
+    rc = entrypoint(
+        ["segment", "predict", "model=yolov8-seg.yaml", f"source={img}",
+         "imgsz=64", "conf=0.0"]
+    )
+    assert rc == 0

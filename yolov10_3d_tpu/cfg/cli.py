@@ -1,8 +1,9 @@
 """`yolo10` CLI (reference: cfg/__init__.py:444 ``entrypoint``).
 
-Grammar: ``yolo10 TASK MODE key=value ...`` with TASK in {detect, detect3d}
-and MODE in {train, val, predict, export, benchmark}; both optional, inferred
-like the reference. Special commands: help, version, settings, cfg.
+Grammar: ``yolo10 TASK MODE key=value ...`` with TASK in {detect, detect3d,
+segment, classify, pose, obb} and MODE in {train, val, predict, export,
+benchmark}; both optional, inferred like the reference (the head module in
+the model YAML decides the real pipeline — the TASK word is a hint). Special commands: help, version, settings, cfg.
 """
 
 from __future__ import annotations
@@ -11,12 +12,13 @@ import ast
 import sys
 from typing import Any, Dict, List
 
-TASKS = {"detect", "detect3d"}
+TASKS = {"detect", "detect3d", "segment", "classify", "pose", "obb"}
 MODES = {"train", "val", "predict", "export", "track", "benchmark"}
 
 HELP = """yolo10 TASK MODE key=value ...
 
-  TASK: detect | detect3d        (optional, inferred from model name)
+  TASK: detect | detect3d | segment | classify | pose | obb
+        (optional, inferred from the model's head)
   MODE: train | val | predict | export | benchmark
 
 examples:
