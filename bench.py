@@ -83,8 +83,14 @@ def bench_train_step(batch_candidates=(128, 64, 32)):
             float(metrics["loss"])  # fence: wait for the chained steps
             dt = (time.perf_counter() - t0) / iters
             return B * iters / (time.perf_counter() - t0), B, dt
-        except Exception as e:  # RESOURCE_EXHAUSTED on small-HBM chips
-            if "RESOURCE_EXHAUSTED" not in str(e) and "Out of memory" not in str(e):
+        except Exception as e:  # HBM exhaustion on small chips: try smaller B
+            msg = str(e)
+            oom = any(
+                k in msg
+                for k in ("RESOURCE_EXHAUSTED", "Out of memory", "out of memory",
+                          "Ran out of memory", "hbm capacity")
+            )
+            if not oom:
                 raise
     return 0.0, 0, 0.0
 

@@ -329,8 +329,34 @@ def train_augment(
             perspective=hyp.get("perspective", 0.0), border=(-sh // 2, -sw // 2),
         )
         img, labels = mixup(img, labels, img2, labels2, rng)
+    img = albumentations_transform(img, rng, p=hyp.get("albumentations", 0.0))
     img = random_hsv(
         img, rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4)
     )
     img, labels, _ = random_flip_lr(img, labels, rng, hyp.get("fliplr", 0.5))
     return img, labels
+
+
+_ALBU = None
+
+
+def albumentations_transform(img: np.ndarray, rng: np.random.Generator, p: float = 0.0):
+    """Gated Albumentations pixel-level augmentations (reference
+    augment.py:819 ``Albumentations``: Blur/MedianBlur/ToGray/CLAHE at
+    p=0.01 each). No-op when the package is absent or p == 0."""
+    global _ALBU
+    if p <= 0 or rng.random() >= p:
+        return img
+    if _ALBU is None:
+        try:
+            import albumentations as A
+
+            _ALBU = A.Compose([
+                A.Blur(p=0.01), A.MedianBlur(p=0.01),
+                A.ToGray(p=0.01), A.CLAHE(p=0.01),
+            ])
+        except ImportError:
+            _ALBU = False
+    if _ALBU is False:
+        return img
+    return _ALBU(image=img)["image"]

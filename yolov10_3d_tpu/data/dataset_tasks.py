@@ -203,3 +203,11 @@ class OBBEvalDataset(YOLODataset):
             gt5[j] = [c[0] / w, c[1] / h, wr / w, hr / h, ang]
         out["gt_bboxes"] = gt5
         return out
+
+
+class SemanticDataset:
+    """Semantic-segmentation dataset placeholder (the reference ships the
+    same empty shell, data/dataset.py:368 ``SemanticDataset``)."""
+
+    def __init__(self):
+        pass

@@ -194,3 +194,53 @@ class Explorer:
             }
             for i in range(len(v))
         ]
+
+
+def explorer_gui(explorer: "Explorer", server_port: int = 7861, launch: bool = True):
+    """Dataset-explorer web GUI (reference explorer/gui/dash.py:268 — a
+    streamlit dashboard; ours is a gradio Blocks app, matching app.py's
+    stack). Gated on gradio importability: query box -> filtered grid,
+    image picker -> nearest-neighbor grid, similarity-index table.
+    Returns the Blocks app (launched when ``launch``)."""
+    try:
+        import gradio as gr
+    except ImportError as e:
+        raise RuntimeError(
+            f"explorer_gui requires gradio (not installed in this image): {e}"
+        )
+
+    explorer._require_table()
+    files = [str(f) for f in explorer._image_files()]
+
+    def run_query(expr):
+        rows = explorer.query(expr) if expr.strip() else []
+        return [r["im_file"] for r in rows][:32]
+
+    def run_similar(path):
+        rows = explorer.get_similar(img=path, limit=9)
+        return [r["im_file"] for r in rows]
+
+    def run_index():
+        idx = explorer.similarity_index()
+        return [[r["im_file"], ", ".join(Path(p).name for p in r["similar"])]
+                for r in idx[:50]]
+
+    with gr.Blocks(title="yolov10-3d-tpu explorer") as demo:
+        gr.Markdown("## Dataset explorer — embeddings search + pandas query")
+        with gr.Row():
+            q = gr.Textbox(label="query (pandas expr over labels)",
+                           placeholder="labels.str.contains('person')")
+            btn = gr.Button("Run")
+        grid = gr.Gallery(label="results", columns=8)
+        btn.click(run_query, q, grid)
+        with gr.Row():
+            pick = gr.Dropdown(files, label="similar-to image")
+            sim_btn = gr.Button("Find similar")
+        sim_grid = gr.Gallery(label="nearest neighbors", columns=3)
+        sim_btn.click(run_similar, pick, sim_grid)
+        idx_btn = gr.Button("Similarity index")
+        idx_tbl = gr.Dataframe(headers=["image", "nearest"], label="index")
+        idx_btn.click(run_index, None, idx_tbl)
+    if launch:
+        demo.launch(server_port=server_port)
+    return demo
