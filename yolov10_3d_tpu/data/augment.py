@@ -25,16 +25,20 @@ def random_hsv(img: np.ndarray, rng: np.random.Generator, hgain=0.015, sgain=0.7
     """HSV jitter via LUTs (reference augment.py:584 ``RandomHSV``)."""
     if hgain or sgain or vgain:
         r = rng.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
-        hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_RGB2HSV))
+        im_hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
         dtype = img.dtype
         x = np.arange(0, 256, dtype=r.dtype)
-        lut_hue = ((x * r[0]) % 180).astype(dtype)
-        lut_sat = np.clip(x * r[1], 0, 255).astype(dtype)
-        lut_val = np.clip(x * r[2], 0, 255).astype(dtype)
-        im_hsv = cv2.merge(
-            (cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat), cv2.LUT(val, lut_val))
-        )
-        img = cv2.cvtColor(im_hsv, cv2.COLOR_HSV2RGB)
+        # one 3-channel LUT call instead of split/LUTx3/merge (measured
+        # ~2x cheaper on the loader's single-core hot path)
+        lut = np.stack(
+            [
+                ((x * r[0]) % 180).astype(dtype),
+                np.clip(x * r[1], 0, 255).astype(dtype),
+                np.clip(x * r[2], 0, 255).astype(dtype),
+            ],
+            -1,
+        ).reshape(256, 1, 3)
+        img = cv2.cvtColor(cv2.LUT(im_hsv, lut), cv2.COLOR_HSV2RGB)
     return img
 
 

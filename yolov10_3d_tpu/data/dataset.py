@@ -310,6 +310,27 @@ class YOLODataset:
         return self.rect_shapes
 
 
+_CV2_LIMITED = False
+
+
+def _limit_cv2_threads():
+    """cv2 defaults to one internal thread-pool per core; under a threaded
+    loader that oversubscribes the host (measured NEGATIVE scaling: 23
+    img/s single-thread -> 12 img/s with 8 workers). The reference pins
+    cv2 to single-threaded inside dataloader workers (utils/__init__.py
+    NUM_THREADS + cv2.setNumThreads) — same fix here, applied once."""
+    global _CV2_LIMITED
+    if _CV2_LIMITED:
+        return
+    _CV2_LIMITED = True
+    try:
+        import cv2
+
+        cv2.setNumThreads(0)
+    except ImportError:
+        pass
+
+
 class DataLoader:
     """Thread-prefetching batching loader with per-host sharding.
 
@@ -407,6 +428,8 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         from concurrent.futures import ThreadPoolExecutor
+
+        _limit_cv2_threads()  # one cv2 thread per worker, not cores^2
 
         idx = self._indices()
         nb = len(self)
