@@ -174,3 +174,19 @@ def test_cli_task_words(tmp_path):
          "imgsz=64", "conf=0.0"]
     )
     assert rc == 0
+
+
+def test_rtdetr_val_e2e(tmp_path):
+    from yolov10_3d_tpu.engine.model import Model
+
+    img_dir = tmp_path / "val" / "images"
+    lbl_dir = tmp_path / "val" / "labels"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    for i in range(2):
+        _make_img(img_dir / f"{i}.jpg")
+        (lbl_dir / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+    data = _write_yaml(tmp_path, "val/images")
+    m = Model("rtdetr-l.yaml")
+    res = m.val(data=data, imgsz=64, batch=2)
+    assert "fitness" in res and np.isfinite(res["fitness"])

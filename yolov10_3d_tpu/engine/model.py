@@ -165,6 +165,15 @@ class Model:
         imgsz = kwargs.get("imgsz", 640)
         head = self.spec.head_module
         val_root = Path(d.get("path", ".")) / d["val"]
+        if head == "RTDETRDecoder":
+            from ..data.dataset import YOLODataset
+            from .validator_tasks import RTDETRValidator
+
+            ds = YOLODataset(val_root, imgsz=imgsz, augment=False)
+            loader = DataLoader(ds, batch, shuffle=False, drop_last=False)
+            return RTDETRValidator(self.model, self.spec, args, d["names"])(
+                self.variables, loader, conf=kwargs.get("conf", 0.001)
+            )
         if head == "Classify":
             from ..data.dataset_tasks import ClassificationDataset
             from .validator_tasks import ClassificationValidator

@@ -261,3 +261,53 @@ class ClassificationValidator:
             top5 = np.asarray(fwd(variables, jnp.asarray(batch["img"])))
             metrics.process_batch(top5, np.asarray(batch["gt_labels"]))
         return metrics.results()
+
+
+class RTDETRValidator:
+    """reference models/rtdetr/val.py ``RTDETRValidator`` — query decode,
+    no NMS; boxes are normalized cxcywh, scores are per-class sigmoid."""
+
+    def __init__(self, model, spec, args=None, names=None):
+        self.model = model
+        self.spec = spec
+        self.args = args
+        self.names = names or {i: str(i) for i in range(spec.nc)}
+
+    @functools.lru_cache(maxsize=4)
+    def _forward_fn(self, max_det: int):
+        from ..ops.boxes import xywh2xyxy
+
+        @jax.jit
+        def fwd(variables, x):
+            x = x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
+            out = self.model.apply(variables, x, train=False)
+            pred = out["pred"] if isinstance(out, dict) else out
+            H, W = x.shape[1], x.shape[2]
+            boxes = xywh2xyxy(pred[..., :4] * jnp.asarray([W, H, W, H], jnp.float32))
+            scores = jax.nn.sigmoid(pred[..., 4:].astype(jnp.float32))
+            B, nq, nc = scores.shape
+            k = min(max_det, nq * nc)
+            top, idx = jax.lax.top_k(scores.reshape(B, -1), k)
+            labels = idx % nc
+            boxes = jnp.take_along_axis(boxes, (idx // nc)[..., None], axis=1)
+            return boxes, top, labels
+
+        return fwd
+
+    def __call__(self, variables, dataloader, conf: float = 0.001,
+                 max_det: int = 300) -> Dict[str, float]:
+        from ..utils.metrics import DetMetrics
+
+        metrics = DetMetrics(nc=self.spec.nc, names=self.names)
+        fwd = self._forward_fn(int(max_det))
+        for batch in dataloader:
+            img = jnp.asarray(batch["img"])
+            boxes, scores, labels = (np.asarray(o) for o in fwd(variables, img))
+            H, W = img.shape[1], img.shape[2]
+            for b in range(img.shape[0]):
+                keep = scores[b] > conf
+                gt_boxes, gt_cls, _ = _gt_xyxy(batch, b, W, H)
+                metrics.process_batch(
+                    boxes[b][keep], scores[b][keep], labels[b][keep], gt_boxes, gt_cls
+                )
+        return metrics.results()
