@@ -28,32 +28,44 @@ def _solid_tiles(B=2, T=4, H=64, W=64, M=5):
 
 @pytest.mark.parametrize("fliplr", [0.0, 1.0])
 def test_device_aug_label_pixel_alignment(fliplr):
+    """Every surviving box's center pixel must show its OWN tile's color —
+    across many keys, and boxes from several different tiles must survive
+    (a misaligned mosaic can pass a weaker check by clipping partner-tile
+    boxes away entirely; caught in review)."""
     from yolov10_3d_tpu.ops.device_aug import device_train_augment
 
     tiles, labels, mask = _solid_tiles()
-    out = device_train_augment(
-        jnp.asarray(tiles), jnp.asarray(labels), jnp.asarray(mask),
-        jax.random.PRNGKey(3), out_hw=(64, 64), crop_hw=(64, 64),
-        max_boxes=8, hsv_gains=(0.0, 0.0, 0.0), fliplr=fliplr,
-    )
-    img = np.asarray(out["img"])
-    assert img.shape == (2, 64, 64, 3) and img.dtype == np.float32
-    assert 0.0 <= img.min() and img.max() <= 1.0
-    gt = np.asarray(out["gt_bboxes"])
-    gl = np.asarray(out["gt_labels"])
-    m = np.asarray(out["mask_gt"])
-    assert m.shape == (2, 8)
-    for b in range(2):
-        for k in np.nonzero(m[b])[0]:
-            cx, cy, w, h = gt[b, k]
-            assert 0 < w <= 1 and 0 < h <= 1
-            px = int(np.clip(cx * 64, 0, 63))
-            py = int(np.clip(cy * 64, 0, 63))
-            t = int(gl[b, k])
-            expect = (50 + 40 * t) / 255.0
-            # center pixel of every surviving box shows its tile's color
-            # (exact: HSV gains are zeroed, bilinear resize is identity)
-            assert abs(float(img[b, py, px, 0]) - expect) < 0.03, (b, k, t)
+    seen_tiles = set()
+    n_checked = 0
+    for seed in range(6):
+        out = device_train_augment(
+            jnp.asarray(tiles), jnp.asarray(labels), jnp.asarray(mask),
+            jax.random.PRNGKey(seed), out_hw=(64, 64), crop_hw=(64, 64),
+            max_boxes=8, hsv_gains=(0.0, 0.0, 0.0), fliplr=fliplr,
+        )
+        img = np.asarray(out["img"])
+        assert img.shape == (2, 64, 64, 3) and img.dtype == np.float32
+        assert 0.0 <= img.min() and img.max() <= 1.0
+        gt = np.asarray(out["gt_bboxes"])
+        gl = np.asarray(out["gt_labels"])
+        m = np.asarray(out["mask_gt"])
+        assert m.shape == (2, 8)
+        for b in range(2):
+            for k in np.nonzero(m[b])[0]:
+                cx, cy, w, h = gt[b, k]
+                assert 0 < w <= 1 and 0 < h <= 1
+                px = int(np.clip(cx * 64, 0, 63))
+                py = int(np.clip(cy * 64, 0, 63))
+                t = int(gl[b, k])
+                expect = (50 + 40 * t) / 255.0
+                # center pixel of every surviving box shows its tile's color
+                # (exact: HSV gains are zeroed, bilinear resize is identity)
+                assert abs(float(img[b, py, px, 0]) - expect) < 0.03, (b, k, t)
+                seen_tiles.add(t)
+                n_checked += 1
+    # the mosaic genuinely mixes tiles: boxes from >=3 distinct tiles survive
+    assert len(seen_tiles) >= 3, seen_tiles
+    assert n_checked >= 10
 
 
 def test_device_aug_valid_boxes_compacted():

@@ -333,6 +333,12 @@ def train_augment(
             perspective=hyp.get("perspective", 0.0), border=(-sh // 2, -sw // 2),
         )
         img, labels = mixup(img, labels, img2, labels2, rng)
+    # copy-paste sits here in the reference pipeline (v8_transforms,
+    # augment.py:973) and, exactly like the reference CopyPaste
+    # (`if p and len(segments)`), no-ops on detect-format labels: per-
+    # instance segment polygons don't survive the mosaic path. Segment-
+    # carrying pipelines call copy_paste() directly.
+    img, labels, _ = copy_paste(img, labels, [], rng, p=hyp.get("copy_paste", 0.0))
     img = albumentations_transform(img, rng, p=hyp.get("albumentations", 0.0))
     img = random_hsv(
         img, rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4)

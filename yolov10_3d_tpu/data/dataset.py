@@ -223,7 +223,10 @@ class YOLODataset:
         return get_item
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
-        if self.device_aug and self.augment:
+        # device-aug tiles only while mosaic is active: close_mosaic() zeroes
+        # hyp['mosaic'] and the loader falls back to the host path (plain img
+        # batches; the train step skips its tile preprocess accordingly)
+        if self.device_aug and self.augment and self.hyp.get("mosaic", 1.0) > 0:
             return self.tiles_item(i)
         if self.augment:
             img, labels = train_augment(
@@ -317,6 +320,16 @@ class YOLODataset:
         self.labels = [self.labels[i] for i in order]
         self._ram = [self._ram[i] for i in order]
         self._shapes = self._shapes[order]
+        # task-dataset side channels are index-keyed dicts (segments/kpts/
+        # corners); permute them too or masks/keypoints land on the wrong
+        # images after the aspect-ratio sort (caught in review)
+        for attr in ("_segments", "_kpts", "_corners"):
+            d = getattr(self, attr, None)
+            if isinstance(d, dict) and d:
+                setattr(
+                    self, attr,
+                    {new: d[int(old)] for new, old in enumerate(order) if int(old) in d},
+                )
         ar = ar[order]
         nb = int(np.ceil(len(ar) / batch_size))
         h0, w0 = self.imgsz
@@ -410,16 +423,21 @@ class DataLoader:
         if self.rect and hasattr(self.dataset, "set_rectangle"):
             if getattr(self.dataset, "rect_shapes", None) is None:
                 self.dataset.set_rectangle(self.batch_size)
+            # shuffle/shard whole BATCHES, never contents — each batch keeps
+            # its common rect shape (reference rect semantics, base.py:226).
+            # Element-wise striding would mix shapes inside a shard's batches
+            # and crash np.stack (caught in review).
+            nb = math.ceil(len(idx) / self.batch_size)
+            order = np.arange(nb)
             if self.shuffle:
-                # shuffle batch ORDER, not contents — each batch keeps its
-                # common rect shape (reference rect semantics, base.py:226)
                 rng = np.random.default_rng(self.seed + self.epoch)
-                nb = math.ceil(len(idx) / self.batch_size)
                 order = rng.permutation(nb)
-                idx = np.concatenate(
-                    [idx[b * self.batch_size : (b + 1) * self.batch_size] for b in order]
-                )
-            return idx[self.shard_index :: self.num_shards]
+            order = order[self.shard_index :: self.num_shards]
+            if len(order) == 0:
+                return np.zeros(0, np.int64)
+            return np.concatenate(
+                [idx[b * self.batch_size : (b + 1) * self.batch_size] for b in order]
+            )
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)

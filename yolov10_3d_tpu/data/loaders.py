@@ -112,14 +112,25 @@ class LoadStreams:
                 if ended[i]:
                     continue
                 frame = None
+                popped = False
                 for _ in range(1000):  # wait up to ~5s for a frame
                     with self.locks[i]:
                         if self.frames[i]:
                             frame = self.frames[i].pop(0)
+                            popped = True
                             break
+                    if not self.threads[i].is_alive():
+                        break
                     time.sleep(0.005)
-                if frame is None:
+                if popped and frame is None:  # reader's end-of-stream sentinel
                     ended[i] = True
+                    continue
+                if frame is None:
+                    if not self.threads[i].is_alive():
+                        ended[i] = True  # reader died with no sentinel
+                    # else: transient stall on a LIVE source (network jitter)
+                    # — skip this round, try again next loop instead of
+                    # permanently dropping the stream (caught in review)
                     continue
                 paths.append(f"{self.sources[i]}")
                 imgs.append(frame)

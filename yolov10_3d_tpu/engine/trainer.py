@@ -65,6 +65,17 @@ class DetectionTrainer:
             fn(self)
 
     # -- task plugins override these (reference task_map) --
+    def _device_aug_active(self) -> bool:
+        """device_aug is usable only when the hyps are XLA-expressible; the
+        dataset (tiles mode) and the train step (tile preprocess) must agree
+        on this decision or the step crashes on the wrong batch keys."""
+        if not self.args.get("device_aug"):
+            return False
+        return not any(
+            float(self.args.get(k, 0.0) or 0.0)
+            for k in ("degrees", "shear", "perspective")
+        )
+
     def build_dataset(self, path, mode: str):
         imgsz = self.args.imgsz
         return YOLODataset(
@@ -76,7 +87,7 @@ class DetectionTrainer:
             single_cls=self.args.single_cls,
             seed=self.args.seed,
             cache=self.args.get("cache") or None,
-            device_aug=bool(self.args.get("device_aug")) and mode == "train",
+            device_aug=self._device_aug_active() and mode == "train",
         )
 
     def make_preprocess_fn(self, spec):
@@ -84,14 +95,14 @@ class DetectionTrainer:
         active when args.device_aug and the host aug hyps are XLA-expressible
         (no rotation/shear/perspective)."""
         args = self.args
-        if not args.get("device_aug"):
-            return None
-        if any(float(args.get(k, 0.0) or 0.0) for k in ("degrees", "shear", "perspective")):
-            from ..utils import LOGGER
+        if not self._device_aug_active():
+            if args.get("device_aug"):
+                from ..utils import LOGGER
 
-            LOGGER.warning(
-                "device_aug=True ignored: degrees/shear/perspective require the host pipeline"
-            )
+                LOGGER.warning(
+                    "device_aug=True ignored: degrees/shear/perspective require "
+                    "the host pipeline (dataset stays in host-aug mode)"
+                )
             return None
         import jax
 
@@ -223,11 +234,15 @@ class DetectionTrainer:
 
         start_epoch = 0
         resume_path = None
+        resumed_best = None
         if args.resume:
             cand = self.save_dir / "weights" / "last.ckpt"
             resume_path = args.resume if isinstance(args.resume, str) else str(cand)
             if Path(resume_path).exists():
                 state, start_epoch = self.load_resume(resume_path, state)
+                from ..utils.checkpoint import load_checkpoint as _lc
+
+                resumed_best = _lc(resume_path)["meta"].get("best_fitness")
             else:
                 resume_path = None
 
@@ -240,7 +255,10 @@ class DetectionTrainer:
 
         self.validator = self.get_validator(names)
         stopper = EarlyStopping(args.patience)
-        best_fitness = None  # first epoch always writes best.ckpt (trainer.py:448-452)
+        # first epoch writes best.ckpt (trainer.py:448-452) — except on
+        # resume, where the checkpointed best must not be clobbered by a
+        # worse first-resumed-epoch fitness (caught in review)
+        best_fitness = resumed_best if resumed_best else None
         csv_path = self.save_dir / "results.csv"
         self.save_dir.mkdir(parents=True, exist_ok=True)
         self.run_callbacks("on_train_start")

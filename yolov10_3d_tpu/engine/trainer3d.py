@@ -138,7 +138,10 @@ class Detection3DTrainer(DetectionTrainer):
             import numpy as np
 
             b = dict(b)
-            b["teacher_embeddings"] = np.asarray(self.teacher(b["img"]))
+            img = np.asarray(b["img"])
+            if img.dtype == np.uint8:  # datasets emit uint8 (H2D path); the
+                img = img.astype(np.float32) / 255.0  # teacher contract is fp32 [0,1]
+            b["teacher_embeddings"] = np.asarray(self.teacher(img))
         return b
 
     def make_loss(self, spec):

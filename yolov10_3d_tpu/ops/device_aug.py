@@ -19,7 +19,14 @@ shapes, no per-sample resampling kernels):
 - the random scale is realized as a per-sample crop-window SIZE drawn from a
   small fixed ladder (compile-once per ladder entry is avoided by using
   a single per-batch size) followed by one batched resize — the reference
-  draws a continuous per-sample scale.
+  draws a continuous per-sample scale;
+- the reference's random mosaic CENTER (augment.py:158, uniform in
+  [s/2, 3s/2] with tiles cropped at the canvas edge) is realized as a FIXED
+  2x2 tile grid + the random crop window: the tile-corner offset relative
+  to the output window spans the same [-H/2, H/2] range, every label stays
+  exactly aligned with its pixels, and no tile cropping/clamping is needed
+  (XLA dynamic_update_slice clamps starts, which would silently shift
+  tiles off their label offsets — measured in review).
 """
 
 from __future__ import annotations
@@ -31,28 +38,18 @@ import jax
 import jax.numpy as jnp
 
 
-def _mosaic_canvas(tiles: jax.Array, centers: jax.Array) -> jax.Array:
-    """tiles (4, H, W, 3) fp32, centers (2,) int — one sample's 2Hx2W mosaic
-    (vmapped over the batch). Tile i is anchored at the quadrant around the
-    center like the reference _mosaic4 (augment.py:135)."""
+def _mosaic_canvas(tiles: jax.Array) -> jax.Array:
+    """tiles (4, H, W, 3) fp32 -> the fixed 2Hx2W 2x2 grid (vmapped over the
+    batch); the random crop window supplies the reference's center jitter."""
     _, H, W, C = tiles.shape
-    yc, xc = centers[0], centers[1]
-    canvas = jnp.full((2 * H, 2 * W, C), 114.0 / 255.0, tiles.dtype)
-    canvas = jax.lax.dynamic_update_slice(canvas, tiles[0], (yc - H, xc - W, 0))
-    canvas = jax.lax.dynamic_update_slice(canvas, tiles[1], (yc - H, xc, 0))
-    canvas = jax.lax.dynamic_update_slice(canvas, tiles[2], (yc, xc - W, 0))
-    canvas = jax.lax.dynamic_update_slice(canvas, tiles[3], (yc, xc, 0))
-    return canvas
+    top = jnp.concatenate([tiles[0], tiles[1]], axis=1)     # (H, 2W, C)
+    bottom = jnp.concatenate([tiles[2], tiles[3]], axis=1)  # (H, 2W, C)
+    return jnp.concatenate([top, bottom], axis=0)           # (2H, 2W, C)
 
 
-def _tile_offsets(centers: jax.Array, H: int, W: int) -> jax.Array:
-    """(B,2) centers -> (B,4,2) per-tile (dy, dx) canvas offsets (clamped the
-    same way dynamic_update_slice clamps)."""
-    yc = jnp.clip(centers[:, 0], H, H * 2 - 1)[:, None]
-    xc = jnp.clip(centers[:, 1], W, W * 2 - 1)[:, None]
-    dy = jnp.concatenate([yc - H, yc - H, yc, yc], 1)  # (B,4)
-    dx = jnp.concatenate([xc - W, xc, xc - W, xc], 1)
-    return jnp.stack([dy, dx], -1)  # (B,4,2)
+def _tile_offsets(H: int, W: int) -> jax.Array:
+    """(4, 2) per-tile (dy, dx) canvas offsets of the fixed 2x2 grid."""
+    return jnp.asarray([[0, 0], [0, W], [H, 0], [H, W]], jnp.float32)
 
 
 def _hsv_device(img: jax.Array, gains: jax.Array) -> jax.Array:
@@ -106,18 +103,15 @@ def device_train_augment(
     M = tile_labels.shape[2]
     oh, ow = out_hw
     ch, cw = crop_hw
-    k_center, k_crop, k_hsv, k_flip = jax.random.split(rng, 4)
+    k_oy, k_ox, k_hsv, k_flip = jax.random.split(rng, 4)
 
     tiles = tiles_u8.astype(jnp.float32) / 255.0
-    # mosaic centers in [H/2, 3H/2) like the reference (augment.py:158)
-    cy = jax.random.randint(k_center, (B,), H // 2, H + H // 2 + 1) + (H // 2)
-    cx = jax.random.randint(k_center, (B,), W // 2, W + W // 2 + 1) + (W // 2)
-    centers = jnp.stack([cy, cx], -1)
-    canvas = jax.vmap(_mosaic_canvas)(tiles, centers)  # (B, 2H, 2W, 3)
+    canvas = jax.vmap(_mosaic_canvas)(tiles)  # (B, 2H, 2W, 3) fixed 2x2 grid
 
-    # translate: random crop window inside the canvas
-    oy = jax.random.randint(k_crop, (B,), 0, max(2 * H - ch, 1))
-    ox = jax.random.randint(k_crop, (B,), 0, max(2 * W - cw, 1))
+    # random crop window == the reference's random mosaic center
+    # (independent keys per axis: one shared key would pin oy == ox)
+    oy = jax.random.randint(k_oy, (B,), 0, max(2 * H - ch, 1))
+    ox = jax.random.randint(k_ox, (B,), 0, max(2 * W - cw, 1))
     crop = jax.vmap(
         lambda c, y, x: jax.lax.dynamic_slice(c, (y, x, 0), (ch, cw, 3))
     )(canvas, oy, ox)
@@ -131,7 +125,7 @@ def device_train_augment(
     img = jnp.where(flip[:, None, None, None], img[:, :, ::-1], img)
 
     # ---- labels: tile frame -> canvas -> crop -> out scale -> flip ----
-    offs = _tile_offsets(centers, H, W).astype(jnp.float32)  # (B,4,2) dy,dx
+    offs = _tile_offsets(H, W)[None]  # (1,4,2) dy,dx — exact grid placement
     lab = tile_labels.astype(jnp.float32)
     x1 = lab[..., 1] + offs[..., 1:2]
     y1 = lab[..., 2] + offs[..., 0:1]

@@ -68,7 +68,10 @@ def make_train_step(
         )
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
-        if preprocess_fn is not None:
+        # the device-aug preprocess consumes tile batches; after close_mosaic
+        # the loader switches back to plain img batches (trace-time branch —
+        # jit retraces once on the new batch structure)
+        if preprocess_fn is not None and "tiles" in batch:
             batch = preprocess_fn(batch, state.step)
         img = batch["img"]
         if img.dtype == jnp.uint8:  # uint8 H2D path: normalize on device
