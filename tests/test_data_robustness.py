@@ -148,3 +148,50 @@ def test_copy_paste():
     # p=0 or no segments -> no-op
     same, l2, s2 = copy_paste(img, labels, [], rng, p=1.0)
     assert len(l2) == 1
+
+
+def test_rect_sharding_keeps_batch_shapes(tmp_path):
+    """Sharded rect loading must stride whole batches, not elements —
+    element striding mixes rect shapes inside a shard (review finding)."""
+    from PIL import Image
+
+    from yolov10_3d_tpu.data.dataset import DataLoader, YOLODataset
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    # two aspect-ratio families -> two rect shapes
+    for i in range(8):
+        wh = (96, 48) if i % 2 == 0 else (48, 96)
+        Image.fromarray(
+            rng.integers(0, 255, (wh[1], wh[0], 3), np.uint8)
+        ).save(img_dir / f"{i}.jpg")
+    ds = YOLODataset(img_dir, imgsz=64, augment=False)
+    seen = 0
+    for shard in range(2):
+        loader = DataLoader(
+            ds, 2, shuffle=True, drop_last=False, rect=True,
+            shard_index=shard, num_shards=2, num_threads=1,
+        )
+        for b in loader:  # np.stack inside collate raises on mixed shapes
+            assert b["img"].ndim == 4
+            seen += b["img"].shape[0]
+    assert seen == 8  # shards partition the batches exactly
+
+
+def test_resume_preserves_best_fitness(tmp_path, monkeypatch):
+    """Resume must not clobber best.ckpt when the first resumed epoch is
+    worse than the checkpointed best (review finding)."""
+    from yolov10_3d_tpu.engine.trainer import DetectionTrainer
+
+    t = DetectionTrainer.__new__(DetectionTrainer)
+    # simulate: ckpt meta carries best_fitness=0.62; resumed epoch has 0.40
+    from yolov10_3d_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    p = tmp_path / "last.ckpt"
+    save_checkpoint(str(p), params={"w": np.zeros(1)}, meta={"best_fitness": 0.62})
+    resumed = load_checkpoint(str(p))["meta"].get("best_fitness")
+    best_fitness = resumed if resumed else None
+    assert best_fitness == 0.62
+    fitness = 0.40
+    assert not (best_fitness is None or fitness > best_fitness)  # no overwrite
