@@ -190,3 +190,20 @@ def test_rtdetr_val_e2e(tmp_path):
     m = Model("rtdetr-l.yaml")
     res = m.val(data=data, imgsz=64, batch=2)
     assert "fitness" in res and np.isfinite(res["fitness"])
+
+
+def test_predict_save_outputs(tmp_path):
+    """predict(save/save_txt/save_crop) writes annotated image, YOLO txt and
+    crops (reference predictor write_results/save_preds)."""
+    from yolov10_3d_tpu.engine.model import YOLOv10
+
+    m = YOLOv10("yolov10n.yaml")
+    img = np.random.default_rng(0).integers(0, 255, (64, 64, 3), np.uint8)
+    res = m.predict(
+        img, imgsz=64, conf=0.0, save=True, save_txt=True, save_crop=True,
+        save_dir=str(tmp_path),
+    )
+    assert (tmp_path / "array.jpg").exists()
+    assert (tmp_path / "labels" / "array.txt").exists()
+    if len(res[0].boxes):
+        assert any((tmp_path / "crops").rglob("*.jpg"))

@@ -137,7 +137,12 @@ class Model:
                 source, vid_stride=kwargs.get("vid_stride", 1), **common
             )
             return gen if stream else list(gen)
-        return pred(source, batch_size=kwargs.get("batch", 1), **common)
+        save_kw = {
+            k: kwargs[k]
+            for k in ("save", "save_txt", "save_crop", "save_dir")
+            if k in kwargs
+        }
+        return pred(source, batch_size=kwargs.get("batch", 1), **common, **save_kw)
 
     __call__ = predict
 

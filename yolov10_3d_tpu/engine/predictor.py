@@ -390,6 +390,10 @@ class Predictor:
         max_det: Optional[int] = None,
         imgsz=None,
         classes: Optional[Sequence[int]] = None,
+        save: bool = False,
+        save_txt: bool = False,
+        save_crop: bool = False,
+        save_dir: str = "runs/predict",
     ) -> List[Results]:
         from ..data.loaders import is_stream_source
 
@@ -405,7 +409,38 @@ class Predictor:
             results.extend(
                 self._process_chunk(frames[i : i + batch_size], fwd, conf, classes, imgsz)
             )
+        if save or save_txt or save_crop:
+            self._save_outputs(results, save, save_txt, save_crop, save_dir)
         return results
+
+    @staticmethod
+    def _save_outputs(results, save, save_txt, save_crop, save_dir):
+        """Annotated images / YOLO txt / per-detection crops (reference
+        predictor.py ``save_preds``/``write_results``)."""
+        from pathlib import Path as _P
+
+        out = _P(save_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        from PIL import Image
+
+        for i, r in enumerate(results):
+            stem = _P(str(r.path)).stem or f"image{i}"
+            stem = stem.replace("#", "_")
+            if save:
+                Image.fromarray(r.plot()).save(out / f"{stem}.jpg")
+            if save_txt:
+                (out / "labels").mkdir(exist_ok=True)
+                r.save_txt(out / "labels" / f"{stem}.txt", save_conf=True)
+            if save_crop and r.boxes is not None:
+                crop_dir = out / "crops"
+                for j in range(len(r.boxes)):
+                    x1, y1, x2, y2 = (int(v) for v in r.boxes.xyxy[j])
+                    c = int(r.boxes.cls[j])
+                    d = crop_dir / str(r.names.get(c, c))
+                    d.mkdir(parents=True, exist_ok=True)
+                    crop = r.orig_img[max(y1, 0):max(y2, 1), max(x1, 0):max(x2, 1)]
+                    if crop.size:
+                        Image.fromarray(crop).save(d / f"{stem}_{j}.jpg")
 
     def stream(
         self,
