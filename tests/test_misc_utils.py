@@ -230,3 +230,28 @@ def test_profile_models_and_sigma_clipping():
         ["yolov10_3d_tpu/cfg/models/v10/yolov10n.yaml"], imgsz=64, iters=2
     ).profile()
     assert rows[0]["params_M"] > 1 and rows[0]["latency_ms"] > 0
+
+
+def test_htl_state_roundtrip_and_inf_guard():
+    """HTL ramp state survives checkpoint round-trip; overflowed weights
+    zero instead of absorbing the budget (review findings)."""
+    from yolov10_3d_tpu.train.htl import ITEM_KEYS, HierarchicalTaskLearning
+
+    h = HierarchicalTaskLearning(stat_epoch_nums=5, max_epochs=50)
+    rng = np.random.default_rng(0)
+    for e in range(7):
+        h.compute_weight(rng.uniform(0.5, 2.0, len(ITEM_KEYS)), e)
+    d = h.state_dict()
+    h2 = HierarchicalTaskLearning(stat_epoch_nums=5, max_epochs=50)
+    h2.load_state_dict(d)
+    v = rng.uniform(0.5, 2.0, len(ITEM_KEYS))
+    np.testing.assert_allclose(
+        h.compute_weight(v.copy(), 7), h2.compute_weight(v.copy(), 7)
+    )
+
+    # inf guard: forge a state that overflows time_value ** (1 - control)
+    h3 = HierarchicalTaskLearning(stat_epoch_nums=5, max_epochs=1000)
+    h3.past_losses = [np.full(len(ITEM_KEYS), 10.0 - 2.0 * i) for i in range(5)]
+    h3.init_diff = np.full(len(ITEM_KEYS), 1e-12)  # ratio explodes
+    w = h3.compute_weight(np.ones(len(ITEM_KEYS)), 6)
+    assert np.all(np.isfinite(w)) and w.max() < 7.0

@@ -166,6 +166,14 @@ class DetectionTrainer:
         adds frozen-teacher embeddings for distillation here)."""
         return b
 
+    def extra_ckpt_meta(self) -> Dict:
+        """Task-specific JSON-serializable state merged into ckpt meta (the
+        3D trainer persists the HTL ramp here so resume continues it)."""
+        return {}
+
+    def on_resume_meta(self, meta: Dict):
+        """Hook: restore task-specific state from a resumed ckpt's meta."""
+
     def on_epoch_losses(self, items: Dict[str, float]):
         """Epoch-mean loss terms callback (HTL history in the 3D trainer)."""
 
@@ -242,7 +250,9 @@ class DetectionTrainer:
                 state, start_epoch = self.load_resume(resume_path, state)
                 from ..utils.checkpoint import load_checkpoint as _lc
 
-                resumed_best = _lc(resume_path)["meta"].get("best_fitness")
+                resumed_meta = _lc(resume_path)["meta"]
+                resumed_best = resumed_meta.get("best_fitness")
+                self.on_resume_meta(resumed_meta)
             else:
                 resume_path = None
 
@@ -311,6 +321,7 @@ class DetectionTrainer:
                     "names": {int(k): v for k, v in names.items()},
                     "train_args": {k: v for k, v in args.to_dict().items()
                                    if isinstance(v, (int, float, str, bool, list, type(None)))},
+                    **self.extra_ckpt_meta(),
                 }
                 self.save_ckpt(self.save_dir / "weights" / "last.ckpt", state, meta)
                 if best_fitness is None or fitness > best_fitness:

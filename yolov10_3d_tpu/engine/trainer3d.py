@@ -125,6 +125,29 @@ class Detection3DTrainer(DetectionTrainer):
             self._htl.past_losses.clear()
         return {"htl_weights": self._htl_weights}
 
+    def extra_ckpt_meta(self) -> Dict:
+        if not hasattr(self, "_htl"):
+            return {}
+        return {
+            "htl_state": self._htl.state_dict(),
+            "htl_epoch": int(getattr(self, "_htl_epoch", 0)),
+            "htl_weights": [float(v) for v in self._htl_weights],
+        }
+
+    def on_resume_meta(self, meta: Dict):
+        """Continue the HTL ramp across resume instead of restarting it at
+        root-only weights (review finding)."""
+        if not meta.get("htl_state") or not getattr(self.args, "htl", False):
+            return
+        import numpy as np
+
+        from ..train.htl import HierarchicalTaskLearning
+
+        self._htl = HierarchicalTaskLearning(max_epochs=int(self.args.epochs))
+        self._htl.load_state_dict(meta["htl_state"])
+        self._htl_epoch = int(meta.get("htl_epoch", 0))
+        self._htl_weights = np.asarray(meta.get("htl_weights"), np.float32)
+
     def on_epoch_losses(self, items: Dict):
         if hasattr(self, "_htl"):
             from ..train.htl import ITEM_KEYS

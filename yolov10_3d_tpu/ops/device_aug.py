@@ -162,9 +162,12 @@ def device_train_augment(
     # fixed-shape sort-by-validity instead of host-side ragged concat
     order = jnp.argsort(~valid, axis=1, stable=True)[:, :max_boxes]
     onehot = jax.nn.one_hot(order, T * M, dtype=jnp.float32)  # (B,K,TM)
-    gt_bboxes = jnp.einsum("bkt,btf->bkf", onehot, xywh)
-    gt_labels = jnp.einsum("bkt,bt->bk", onehot, cls).astype(jnp.int32)
-    mask_gt = jnp.einsum("bkt,bt->bk", onehot, valid.astype(jnp.float32)) > 0.5
+    hi = jax.lax.Precision.HIGHEST  # bf16 default would round the box coords
+    gt_bboxes = jnp.einsum("bkt,btf->bkf", onehot, xywh, precision=hi)
+    gt_labels = jnp.einsum("bkt,bt->bk", onehot, cls, precision=hi).astype(jnp.int32)
+    mask_gt = jnp.einsum(
+        "bkt,bt->bk", onehot, valid.astype(jnp.float32), precision=hi
+    ) > 0.5
     return {
         "img": img,
         "gt_labels": gt_labels,

@@ -19,11 +19,10 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
-# canonical per-term order of the 3D loss items (train/loss3d.py ITEM_KEYS)
-ITEM_KEYS = (
-    "box2d_om", "cls_om", "dep_om", "o3d_om", "s3d_om", "hd_om",
-    "box2d_oo", "cls_oo", "dep_oo", "o3d_oo", "s3d_oo", "hd_oo",
-)
+# canonical per-term order of the 3D loss items — imported, not duplicated:
+# LOSS_GRAPH indices, the trainer's loss vector, and detect3d_loss's weight
+# pairing all key off this single tuple
+from .loss3d import ITEM_KEYS  # noqa: E402
 
 # term index -> predecessor term indices (reference htl.py:9-21: dep <- bbox,
 # s3d; o3d/s3d/hd <- bbox, per branch)
@@ -52,6 +51,20 @@ class HierarchicalTaskLearning:
         self.past_losses: List[np.ndarray] = []
         self.init_diff: np.ndarray | None = None
 
+    # -- checkpoint persistence (resume must not restart the ramp) --
+    def state_dict(self) -> Dict:
+        return {
+            "past_losses": [list(map(float, v)) for v in self.past_losses],
+            "init_diff": (
+                list(map(float, self.init_diff)) if self.init_diff is not None else None
+            ),
+        }
+
+    def load_state_dict(self, d: Dict):
+        self.past_losses = [np.asarray(v, np.float64) for v in d.get("past_losses", [])]
+        di = d.get("init_diff")
+        self.init_diff = np.asarray(di, np.float64) if di is not None else None
+
     def compute_weight(self, current_loss: Sequence[float], epoch: int) -> np.ndarray:
         current = np.asarray(current_loss, np.float64)
         n = len(LOSS_GRAPH)
@@ -75,7 +88,10 @@ class HierarchicalTaskLearning:
                         control *= c_weights[p]
                     weights[i] = time_value ** (1.0 - control)
             if not np.all(np.isfinite(weights)):
-                weights = np.nan_to_num(weights, nan=0.0)
+                # inf must also go to 0: the default posinf conversion
+                # (~1.8e308) would make one overflowed term absorb the whole
+                # normalized weight budget
+                weights = np.nan_to_num(weights, nan=0.0, posinf=0.0, neginf=0.0)
             self.past_losses.pop(0)
         self.past_losses.append(current)
         s = weights.sum()

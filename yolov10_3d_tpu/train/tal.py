@@ -111,7 +111,10 @@ def assign(
     # the minor axis stalls the TPU (see _df_loss note in loss.py)
     labels = jnp.clip(gt_labels.astype(jnp.int32), 0, C - 1)
     label_onehot = jax.nn.one_hot(labels, C, dtype=pd_scores.dtype)  # (B,M,C)
-    bbox_scores = jnp.einsum("bmc,bac->bma", label_onehot, pd_scores)
+    bbox_scores = jnp.einsum(
+        "bmc,bac->bma", label_onehot, pd_scores,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     bbox_scores = jnp.where(mask_valid > 0, bbox_scores, 0.0)
 
     overlaps = bbox_iou(
@@ -135,11 +138,15 @@ def assign(
     # gather targets via the assignment one-hot (mask_pos IS one_hot(target_gt_idx)
     # on fg anchors) — matmul instead of dynamic gather
     assign_onehot = jax.nn.one_hot(target_gt_idx, M, dtype=jnp.float32)  # (B,A,M)
+    # HIGHEST precision: TPU default truncates einsum operands to bf16,
+    # which would round the gathered pixel-coordinate / one-hot TARGETS the
+    # old take_along_axis produced exactly (silent parity drift on TPU only)
+    hi = jax.lax.Precision.HIGHEST
     target_labels = jnp.einsum(
-        "bam,bm->ba", assign_onehot, labels.astype(jnp.float32)
+        "bam,bm->ba", assign_onehot, labels.astype(jnp.float32), precision=hi
     ).astype(jnp.int32)
-    target_bboxes = jnp.einsum("bam,bmf->baf", assign_onehot, gt_bboxes)
-    target_scores = jnp.einsum("bam,bmc->bac", assign_onehot, label_onehot)
+    target_bboxes = jnp.einsum("bam,bmf->baf", assign_onehot, gt_bboxes, precision=hi)
+    target_scores = jnp.einsum("bam,bmc->bac", assign_onehot, label_onehot, precision=hi)
     target_scores = target_scores * (fg_mask[..., None] > 0)
 
     # normalise scores by per-GT max metric (reference tal.py:88-93)

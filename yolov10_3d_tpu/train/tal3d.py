@@ -97,7 +97,10 @@ def assign3d(
     # per-GT class score as a one-hot matmul over C (gathers stall the TPU —
     # see the _df_loss note in train/loss.py)
     label_onehot = jax.nn.one_hot(gt_labels, C, dtype=f32)  # (B,M,C)
-    bbox_scores = jnp.einsum("bmc,bac->bma", label_onehot, pd_scores.astype(f32))
+    bbox_scores = jnp.einsum(
+        "bmc,bac->bma", label_onehot, pd_scores.astype(f32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     bbox_scores = jnp.where(valid, bbox_scores, 0.0)
 
     sim = _keypoint_similarity(
@@ -140,11 +143,22 @@ def assign3d(
     def take(x):
         x = x.astype(f32)
         if x.ndim == 2:
-            return jnp.einsum("bam,bm->ba", assign_onehot, x)
-        return jnp.einsum("bam,bmf->baf", assign_onehot, x)
+            # HIGHEST: the defaults truncate to bf16 on TPU and would
+            # round depth/center/size TARGETS the old gather kept exact
+            return jnp.einsum(
+                "bam,bm->ba", assign_onehot, x,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return jnp.einsum(
+            "bam,bmf->baf", assign_onehot, x,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     target_labels = take(gt_labels).astype(jnp.int32)
-    target_scores = jnp.einsum("bam,bmc->bac", assign_onehot, label_onehot)
+    target_scores = jnp.einsum(
+        "bam,bmc->bac", assign_onehot, label_onehot,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     target_scores = target_scores * (fg_mask[..., None] > 0)
 
     align_metric = align_metric * mask_pos
