@@ -203,7 +203,9 @@ def test_predict_save_outputs(tmp_path):
         img, imgsz=64, conf=0.0, save=True, save_txt=True, save_crop=True,
         save_dir=str(tmp_path),
     )
-    assert (tmp_path / "array.jpg").exists()
-    assert (tmp_path / "labels" / "array.txt").exists()
+    # ndarray sources get index-suffixed stems so multi-image predicts
+    # don't overwrite each other (review finding)
+    assert (tmp_path / "array0.jpg").exists()
+    assert (tmp_path / "labels" / "array0.txt").exists()
     if len(res[0].boxes):
         assert any((tmp_path / "crops").rglob("*.jpg"))

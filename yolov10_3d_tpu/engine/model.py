@@ -20,6 +20,26 @@ from ..nn.build import build_model
 from ..utils.checkpoint import load_checkpoint
 
 
+def _saving_stream(gen, save_kw):
+    """Wrap a streaming predict generator so save/save_txt/save_crop apply
+    per frame (stems made unique by frame index)."""
+    from .predictor import Predictor
+
+    def run():
+        for i, r in enumerate(gen):
+            r.path = f"{r.path}#{i}"
+            Predictor._save_outputs(
+                [r],
+                save_kw.get("save", False),
+                save_kw.get("save_txt", False),
+                save_kw.get("save_crop", False),
+                save_kw.get("save_dir", "runs/predict"),
+            )
+            yield r
+
+    return run()
+
+
 def _resolve_model_cfg(name: str) -> Path:
     p = Path(name)
     if p.exists():
@@ -132,16 +152,27 @@ class Model:
             imgsz=kwargs.get("imgsz") or self.overrides.get("imgsz") or 640,
             classes=kwargs.get("classes"),
         )
-        if stream or is_stream_source(source):
-            gen = pred.stream(
-                source, vid_stride=kwargs.get("vid_stride", 1), **common
-            )
-            return gen if stream else list(gen)
         save_kw = {
             k: kwargs[k]
             for k in ("save", "save_txt", "save_crop", "save_dir")
             if k in kwargs
         }
+        endless = isinstance(source, str) and re.fullmatch(r"screen\d*", source)
+        if stream or endless or is_stream_source(source):
+            gen = pred.stream(
+                source, vid_stride=kwargs.get("vid_stride", 1), **common
+            )
+            if any(save_kw.get(k) for k in ("save", "save_txt", "save_crop")):
+                gen = _saving_stream(gen, save_kw)
+            if not stream and (endless or is_stream_source(source)):
+                from ..utils import LOGGER
+
+                LOGGER.warning(
+                    f"source {source!r} is endless (live stream/screen); "
+                    "returning a streaming generator — iterate it"
+                )
+                return gen
+            return gen if stream else list(gen)
         return pred(source, batch_size=kwargs.get("batch", 1), **common, **save_kw)
 
     __call__ = predict

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import functools
 import glob
+import re
 import time
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Sequence, Union
@@ -43,7 +44,7 @@ def load_source(source) -> Iterator:
 
         yield from LoadTensor(source)
         return
-    if isinstance(source, str) and source.startswith("screen"):
+    if isinstance(source, str) and re.fullmatch(r"screen\d*", source):
         from ..data.loaders import LoadScreenshots
 
         for paths, imgs in LoadScreenshots(source):
@@ -181,25 +182,11 @@ class Predictor:
                 logits = self.model.apply(variables, norm(x), train=False)
                 return (jax.nn.softmax(logits, -1),)
         elif self.task == "rtdetr":
-            @jax.jit
-            def fwd(variables, x):
-                out = self.model.apply(variables, norm(x), train=False)
-                pred = out["pred"] if isinstance(out, dict) else out
-                H, W = x.shape[1], x.shape[2]
-                xywh = pred[..., :4] * jnp.asarray([W, H, W, H], jnp.float32)
-                from ..ops.boxes import xywh2xyxy
+            # one decode implementation, shared with validation (the obb
+            # branch does the same; duplicated decodes drift)
+            from .validator_tasks import RTDETRValidator
 
-                boxes = xywh2xyxy(xywh)
-                scores = jax.nn.sigmoid(pred[..., 4:].astype(jnp.float32))
-                # flat top-k over (query, class) pairs (reference
-                # models/rtdetr/predict.py postprocess)
-                B, nq, nc = scores.shape
-                k = min(max_det, nq * nc)
-                top, idx = jax.lax.top_k(scores.reshape(B, -1), k)
-                labels = idx % nc
-                qidx = idx // nc
-                boxes = jnp.take_along_axis(boxes, qidx[..., None], axis=1)
-                return boxes, top, labels
+            fwd = RTDETRValidator(self.model, spec)._forward_fn(max_det)
         elif self.task == "segment":
             from ..ops.boxes import xyxy2xywh
             from ..ops.nms import non_max_suppression
@@ -223,9 +210,17 @@ class Predictor:
             from ..ops.nms import non_max_suppression
             from ..ops.postprocess import decode_detect, decode_kpts
 
-            kpt_shape = tuple(
-                (spec.yaml_extras or {}).get("kpt_shape", (17, 3))
-            ) if hasattr(spec, "yaml_extras") else (17, 3)
+            # kpt_shape lives in the Pose head's layer args (nc, ch,
+            # kpt_shape) — nn/build.py:372; the 2-int list is unambiguous
+            head_args = spec.layers[spec.head_index].args
+            kpt_shape = next(
+                (
+                    tuple(a) for a in head_args
+                    if isinstance(a, (list, tuple)) and len(a) == 2
+                    and all(isinstance(v, int) for v in a)
+                ),
+                (17, 3),
+            )
             nk, nd = kpt_shape
 
             @jax.jit
@@ -423,9 +418,13 @@ class Predictor:
         out.mkdir(parents=True, exist_ok=True)
         from PIL import Image
 
+        used = set()
         for i, r in enumerate(results):
             stem = _P(str(r.path)).stem or f"image{i}"
             stem = stem.replace("#", "_")
+            if stem in used or stem in ("array", "pil", "tensor"):
+                stem = f"{stem}{i}"  # ndarray/PIL sources all share one path
+            used.add(stem)
             if save:
                 Image.fromarray(r.plot()).save(out / f"{stem}.jpg")
             if save_txt:

@@ -247,10 +247,7 @@ class DetectionTrainer:
             cand = self.save_dir / "weights" / "last.ckpt"
             resume_path = args.resume if isinstance(args.resume, str) else str(cand)
             if Path(resume_path).exists():
-                state, start_epoch = self.load_resume(resume_path, state)
-                from ..utils.checkpoint import load_checkpoint as _lc
-
-                resumed_meta = _lc(resume_path)["meta"]
+                state, start_epoch, resumed_meta = self.load_resume(resume_path, state)
                 resumed_best = resumed_meta.get("best_fitness")
                 self.on_resume_meta(resumed_meta)
             else:
@@ -314,6 +311,13 @@ class DetectionTrainer:
                 row.update({k: v for k, v in results.items() if np.isscalar(v)})
             self._write_csv(csv_path, row)
 
+            # fitness tracking happens regardless of args.save (Model.tune
+            # reads best_fitness with saving off); meta is built AFTER the
+            # update so last.ckpt never records a stale best that a resume
+            # would use to clobber best.ckpt
+            improved = best_fitness is None or fitness > best_fitness
+            if improved:
+                best_fitness = fitness
             if args.save:
                 meta = {
                     "epoch": epoch, "best_fitness": best_fitness or 0.0,
@@ -324,8 +328,7 @@ class DetectionTrainer:
                     **self.extra_ckpt_meta(),
                 }
                 self.save_ckpt(self.save_dir / "weights" / "last.ckpt", state, meta)
-                if best_fitness is None or fitness > best_fitness:
-                    best_fitness = fitness
+                if improved:
                     self.save_ckpt(self.save_dir / "weights" / "best.ckpt", state, meta)
                 if args.save_period > 0 and (epoch + 1) % args.save_period == 0:
                     self.save_ckpt(self.save_dir / "weights" / f"epoch{epoch}.ckpt", state, meta)
@@ -371,7 +374,7 @@ class DetectionTrainer:
             ema_params=ckpt.get("ema_params") or ckpt["params"],
             opt_state=opt_state,
         )
-        return new_state, int(ckpt["meta"].get("epoch", -1)) + 1
+        return new_state, int(ckpt["meta"].get("epoch", -1)) + 1, ckpt["meta"]
 
     @staticmethod
     def _write_csv(path: Path, row: Dict):

@@ -71,14 +71,19 @@ class PoseTrainer(V8DetectionTrainer):
 
     def __init__(self, *a, **kw):
         super().__init__(*a, **kw)
-        self.kpt_shape = (17, 3)
+        # resolved once: make_loss/get_validator capture it, so it must be
+        # final before any factory runs (not re-read per build_dataset call)
+        try:
+            from ..cfg import load_dataset_yaml
+
+            d = load_dataset_yaml(self.args.data)
+            self.kpt_shape = tuple(d.get("kpt_shape", (17, 3)))
+        except Exception:
+            self.kpt_shape = (17, 3)
 
     def build_dataset(self, path, mode: str):
-        from ..cfg import load_dataset_yaml
         from ..data.dataset_tasks import PoseEvalDataset
 
-        d = load_dataset_yaml(self.args.data)
-        self.kpt_shape = tuple(d.get("kpt_shape", (17, 3)))
         return PoseEvalDataset(
             path, imgsz=self.args.imgsz, augment=False, kpt_shape=self.kpt_shape,
             single_cls=self.args.single_cls, seed=self.args.seed,

@@ -55,6 +55,7 @@ class DetectionValidator:
         metrics = DetMetrics(nc=self.spec.nc, names=self.names)
         fwd = self._forward_fn(int(max_det))
         json_records = [] if save_json_path else None
+        global_idx = 0  # fallback COCO image id: unique across batches
         for batch in dataloader:
             img = jnp.asarray(batch["img"])
             boxes, scores, labels = (np.asarray(o) for o in fwd(variables, img))
@@ -75,7 +76,7 @@ class DetectionValidator:
                 if json_records is not None:
                     from ..utils.coco import pred_to_json
 
-                    img_id = b
+                    img_id = global_idx
                     if dataset is not None and "im_id" in batch:
                         from pathlib import Path as _P
 
@@ -84,6 +85,7 @@ class DetectionValidator:
                     json_records.extend(
                         pred_to_json(img_id, boxes[b][keep], scores[b][keep], labels[b][keep])
                     )
+                global_idx += 1
         if json_records is not None:
             from ..utils.coco import save_json
 
