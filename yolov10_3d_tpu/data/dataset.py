@@ -415,33 +415,36 @@ class DataLoader:
         self.epoch = 0
 
     def __len__(self):
-        n = len(self.dataset) // self.num_shards
-        return n // self.batch_size if self.drop_last else math.ceil(n / self.batch_size)
+        return len(self._batches())
 
-    def _indices(self) -> np.ndarray:
+    def _batches(self) -> List[np.ndarray]:
+        """Per-batch index arrays. Batches are first-class here (not a flat
+        array sliced in fixed strides): rect batches have a COMMON shape and
+        a possibly-short tail, so shuffling/sharding must move whole batches
+        or shards would mix rect shapes / mis-slice across the short batch
+        (both caught in review)."""
         idx = np.arange(len(self.dataset))
         if self.rect and hasattr(self.dataset, "set_rectangle"):
             if getattr(self.dataset, "rect_shapes", None) is None:
                 self.dataset.set_rectangle(self.batch_size)
-            # shuffle/shard whole BATCHES, never contents — each batch keeps
-            # its common rect shape (reference rect semantics, base.py:226).
-            # Element-wise striding would mix shapes inside a shard's batches
-            # and crash np.stack (caught in review).
             nb = math.ceil(len(idx) / self.batch_size)
-            order = np.arange(nb)
+            batches = [idx[b * self.batch_size : (b + 1) * self.batch_size]
+                       for b in range(nb)]
             if self.shuffle:
                 rng = np.random.default_rng(self.seed + self.epoch)
-                order = rng.permutation(nb)
-            order = order[self.shard_index :: self.num_shards]
-            if len(order) == 0:
-                return np.zeros(0, np.int64)
-            return np.concatenate(
-                [idx[b * self.batch_size : (b + 1) * self.batch_size] for b in order]
-            )
-        if self.shuffle:
-            rng = np.random.default_rng(self.seed + self.epoch)
-            rng.shuffle(idx)
-        return idx[self.shard_index :: self.num_shards]
+                batches = [batches[i] for i in rng.permutation(len(batches))]
+            batches = batches[self.shard_index :: self.num_shards]
+        else:
+            if self.shuffle:
+                rng = np.random.default_rng(self.seed + self.epoch)
+                rng.shuffle(idx)
+            idx = idx[self.shard_index :: self.num_shards]
+            nb = math.ceil(len(idx) / self.batch_size)
+            batches = [idx[b * self.batch_size : (b + 1) * self.batch_size]
+                       for b in range(nb)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        return [b for b in batches if len(b)]
 
     def _batch_scale(self, b: int) -> float:
         """Deterministic per-batch scale from the fixed ladder."""
@@ -452,6 +455,8 @@ class DataLoader:
 
     @staticmethod
     def _resize_batch(batch: Dict[str, np.ndarray], scale: float, stride: int = 32):
+        if "img" not in batch:  # device-aug tile batches resize on device
+            return batch
         """Resize the collated image batch by ``scale`` (stride-aligned).
         Normalized gt_bboxes are scale-invariant, so labels are untouched."""
         if scale == 1.0:
@@ -474,8 +479,7 @@ class DataLoader:
 
         _limit_cv2_threads()  # one cv2 thread per worker, not cores^2
 
-        idx = self._indices()
-        nb = len(self)
+        batches = self._batches()
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -485,16 +489,20 @@ class DataLoader:
 
         def producer():
             try:
-                for b in range(nb):
-                    if stop.is_set():
+                for b, sel in enumerate(batches):
+                    if stop.is_set() or len(sel) == 0:
                         return
-                    sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
-                    if len(sel) < self.batch_size and self.drop_last:
-                        break
                     batch = collate(sel)
                     if self.multi_scale:
                         batch = self._resize_batch(batch, self._batch_scale(b))
                     q.put(batch)
+            except Exception:  # surface loader errors instead of a silent
+                import traceback  # empty epoch (review finding)
+
+                from ..utils import LOGGER
+
+                LOGGER.error(f"DataLoader producer failed:\n{traceback.format_exc()}")
+                raise
             finally:
                 q.put(None)
 

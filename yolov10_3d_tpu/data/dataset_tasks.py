@@ -13,7 +13,8 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-from .dataset import YOLODataset, letterbox
+from .dataset import YOLODataset
+from .preprocess import letterbox_geometry
 from .utils import polygon2mask
 
 
@@ -58,9 +59,10 @@ class SegmentationEvalDataset(YOLODataset):
         gt_masks = np.zeros((M, mh, mw), np.uint8)
         # recompute the letterbox transform to place polygons (same math as
         # the base __getitem__ eval path)
-        raw = np.asarray(self._load_cached_image(i))
-        rh, rw = raw.shape[:2]
-        _, ratio, (dw, dh) = letterbox(raw, (h, w), scaleup=False)
+        # geometry only — no second decode (review finding): the base
+        # __getitem__ already letterboxed the pixels with the same math
+        rh, rw = (int(v) for v in self.image_shapes()[i])
+        ratio, dw, dh = letterbox_geometry((rh, rw), (h, w), scaleup=False)
         for j, pts in enumerate(self._segments.get(i, [])[:M]):
             px = pts * np.array([rw, rh], np.float32) * ratio + np.array([dw, dh], np.float32)
             gt_masks[j] = polygon2mask((mh, mw), px / self.mask_ratio)
@@ -103,9 +105,10 @@ class PoseEvalDataset(YOLODataset):
         nk, nd = self.kpt_shape
         M = self.max_boxes
         gt_kpts = np.zeros((M, nk, nd), np.float32)
-        raw = np.asarray(self._load_cached_image(i))
-        rh, rw = raw.shape[:2]
-        _, ratio, (dw, dh) = letterbox(raw, (h, w), scaleup=False)
+        # geometry only — no second decode (review finding): the base
+        # __getitem__ already letterboxed the pixels with the same math
+        rh, rw = (int(v) for v in self.image_shapes()[i])
+        ratio, dw, dh = letterbox_geometry((rh, rw), (h, w), scaleup=False)
         k = self._kpts.get(i, np.zeros((0, nk, nd), np.float32))
         for j, kp in enumerate(k[:M]):
             kp = kp.copy()
@@ -126,8 +129,10 @@ class ClassificationDataset:
         root = Path(root)
         self.classes = sorted(d.name for d in root.iterdir() if d.is_dir())
         self.cls_map = {c: i for i, c in enumerate(self.classes)}
+        # class = the top-level directory (images may nest deeper, like
+        # torchvision ImageFolder accepts — review finding)
         self.samples = [
-            (f, self.cls_map[f.parent.name])
+            (f, self.cls_map[c])
             for c in self.classes
             for f in sorted((root / c).rglob("*"))
             if f.suffix.lstrip(".").lower() in IMG_FORMATS
@@ -186,9 +191,10 @@ class OBBEvalDataset(YOLODataset):
         out = super().__getitem__(i)
         h, w = out["img"].shape[:2]
         M = self.max_boxes
-        raw = np.asarray(self._load_cached_image(i))
-        rh, rw = raw.shape[:2]
-        _, ratio, (dw, dh) = letterbox(raw, (h, w), scaleup=False)
+        # geometry only — no second decode (review finding): the base
+        # __getitem__ already letterboxed the pixels with the same math
+        rh, rw = (int(v) for v in self.image_shapes()[i])
+        ratio, dw, dh = letterbox_geometry((rh, rw), (h, w), scaleup=False)
         gt5 = np.zeros((M, 5), np.float32)
         corners = self._corners.get(i, np.zeros((0, 4, 2), np.float32))[:M]
         for j, pts in enumerate(corners):

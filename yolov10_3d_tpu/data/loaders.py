@@ -93,13 +93,18 @@ class LoadStreams:
             if not ok:
                 break
             im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
-            with self.locks[i]:
-                if self.buffer:
-                    if len(self.frames[i]) < self.max_buffer:
-                        self.frames[i].append(im)
-                    else:  # bounded: drop oldest
-                        self.frames[i] = self.frames[i][1:] + [im]
-                else:
+            if self.buffer:
+                # keep-every-frame contract (video files): BLOCK until the
+                # consumer drains instead of dropping the oldest frame
+                # (review finding; the reference reader blocks the same way)
+                while self.running:
+                    with self.locks[i]:
+                        if len(self.frames[i]) < self.max_buffer:
+                            self.frames[i].append(im)
+                            break
+                    time.sleep(0.005)
+            else:
+                with self.locks[i]:
                     self.frames[i] = [im]
         with self.locks[i]:
             self.frames[i].append(None)  # end-of-stream sentinel

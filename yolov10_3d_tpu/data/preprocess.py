@@ -18,6 +18,32 @@ except ImportError:  # pragma: no cover
     cv2 = None
 
 
+def letterbox_geometry(
+    shape: Tuple[int, int],
+    new_shape: Union[int, Tuple[int, int]],
+    scaleup: bool = True,
+    center: bool = True,
+    auto: bool = False,
+    stride: int = 32,
+) -> Tuple[float, float, float]:
+    """(ratio, dw, dh) of ``letterbox`` for a source (h, w) WITHOUT touching
+    pixels — exact same math, shared so callers that only need the geometry
+    (task eval datasets placing polygons/keypoints) skip a second decode."""
+    if isinstance(new_shape, int):
+        new_shape = (new_shape, new_shape)
+    r = min(new_shape[0] / shape[0], new_shape[1] / shape[1])
+    if not scaleup:
+        r = min(r, 1.0)
+    new_unpad = (round(shape[1] * r), round(shape[0] * r))  # w, h
+    dw, dh = new_shape[1] - new_unpad[0], new_shape[0] - new_unpad[1]
+    if auto:
+        dw, dh = dw % stride, dh % stride
+    if center:
+        dw /= 2
+        dh /= 2
+    return r, dw, dh
+
+
 def letterbox(
     img: np.ndarray,
     new_shape: Union[int, Tuple[int, int]] = (640, 640),
@@ -32,18 +58,10 @@ def letterbox(
     shape = img.shape[:2]  # h, w
     if isinstance(new_shape, int):
         new_shape = (new_shape, new_shape)
-
-    r = min(new_shape[0] / shape[0], new_shape[1] / shape[1])
-    if not scaleup:
-        r = min(r, 1.0)
-
+    r, dw, dh = letterbox_geometry(
+        shape, new_shape, scaleup=scaleup, center=center, auto=auto, stride=stride
+    )
     new_unpad = (round(shape[1] * r), round(shape[0] * r))  # w, h
-    dw, dh = new_shape[1] - new_unpad[0], new_shape[0] - new_unpad[1]
-    if auto:
-        dw, dh = dw % stride, dh % stride
-    if center:
-        dw /= 2
-        dh /= 2
 
     if shape[::-1] != new_unpad:
         if cv2 is not None:

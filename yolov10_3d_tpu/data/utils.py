@@ -15,14 +15,20 @@ IMG_FORMATS = {"bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp",
 
 
 def img2label_paths(img_paths: Sequence[str]) -> List[str]:
-    """images/ -> labels/, suffix -> .txt (reference data/utils.py:38)."""
+    """images/ -> labels/ on the LAST occurrence only (reference
+    data/utils.py:38 uses rsplit(sa, 1) — replacing every occurrence maps
+    .../images/x/images/a.jpg to a doubly-rewritten path); suffix -> .txt."""
+    import os
+
+    sa = f"{os.sep}images{os.sep}"
+    sb = f"{os.sep}labels{os.sep}"
     out = []
     for p in img_paths:
         p = str(p)
-        if "/images/" in p:
-            p = p.replace("/images/", "/labels/")
-        elif "\\images\\" in p:
-            p = p.replace("\\images\\", "\\labels\\")
+        if sa in p:
+            p = sb.join(p.rsplit(sa, 1))
+        elif "/images/" in p:  # posix-style input on any platform
+            p = "/labels/".join(p.rsplit("/images/", 1))
         out.append(str(Path(p).with_suffix(".txt")))
     return out
 
@@ -108,15 +114,18 @@ def polygons2masks(imgsz, polygons, color: int = 1, downsample_ratio: int = 1) -
 def polygons2masks_overlap(imgsz, segments, downsample_ratio: int = 1):
     """Single overlap-indexed mask, larger polygons drawn first (reference
     polygons2masks_overlap) -> (mask, sorted_index)."""
-    areas = np.array(
-        [polygon2mask(imgsz, s, 1, downsample_ratio).sum() for s in segments]
-    )
+    masks = [polygon2mask(imgsz, s, 1, downsample_ratio) for s in segments]
+    areas = np.array([m.sum() for m in masks])
     order = np.argsort(-areas)
-    h = imgsz[0] // downsample_ratio if downsample_ratio > 1 else imgsz[0]
-    w = imgsz[1] // downsample_ratio if downsample_ratio > 1 else imgsz[1]
-    mask = np.zeros((h, w), np.uint8)
+    # accumulator dims come from the actual downsampled masks (stride
+    # slicing ceils; floor-division here broadcast-errored on non-divisible
+    # sizes — review finding)
+    shape = masks[0].shape if masks else (
+        -(-imgsz[0] // downsample_ratio), -(-imgsz[1] // downsample_ratio)
+    )
+    mask = np.zeros(shape, np.uint8)
     for i, idx in enumerate(order):
-        m = polygon2mask(imgsz, segments[idx], 1, downsample_ratio)
+        m = masks[idx]
         mask = np.where((m > 0) & (mask == 0), i + 1, mask)
     return mask, order
 

@@ -152,7 +152,7 @@ class DetectionTrainer:
         metrics dict with a ``fitness`` key."""
         val_loader = DataLoader(
             val_ds, batch_size, shuffle=False, drop_last=False,
-            num_threads=self.args.workers,
+            num_threads=self.args.workers, rect=bool(self.args.get("rect")),
         )
         return self.validator(eval_variables(state), val_loader)
 
@@ -213,7 +213,11 @@ class DetectionTrainer:
         n_dev = len(jax.devices())
         batch = args.batch - (args.batch % n_dev) if args.batch >= n_dev else n_dev
         loader = DataLoader(
-            train_ds, batch, shuffle=True, seed=args.seed, num_threads=args.workers
+            train_ds, batch, shuffle=True, seed=args.seed, num_threads=args.workers,
+            # cfg knobs (default.yaml rect/multi_scale) — rect batches a few
+            # static shapes; multi_scale resizes per batch from a fixed ladder
+            rect=bool(args.get("rect")),
+            multi_scale=bool(args.get("multi_scale")),
         )
         steps_per_epoch = max(len(loader), 1)
 

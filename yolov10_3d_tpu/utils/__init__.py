@@ -210,6 +210,7 @@ class SettingsManager(dict):
             "hub": True,
         }
         super().__init__(self.defaults.copy())
+        self._loading = True
         with contextlib.suppress(Exception):
             if self.file.exists():
                 loaded = json.loads(self.file.read_text())
@@ -221,6 +222,7 @@ class SettingsManager(dict):
                     self.update({**self.defaults, **{k: v for k, v in loaded.items() if k in self.defaults}})
                     self["settings_version"] = version
                     self.save()
+        self._loading = False
 
     def save(self):
         with contextlib.suppress(Exception):
@@ -229,6 +231,8 @@ class SettingsManager(dict):
 
     def update(self, *args, **kwargs):
         super().update(*args, **kwargs)
+        if not getattr(self, "_loading", False):
+            self.save()  # persist on update like the reference (:1015)
 
     def reset(self):
         self.clear()
