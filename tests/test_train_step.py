@@ -115,3 +115,27 @@ def test_spatial_sharding_matches_single_device():
     got = fn(v, jax.device_put(x, spatial_batch_sharding(mesh)))
     for a, b in zip(ref, got):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-6)
+
+
+def test_shard_batch_replicates_epoch_vectors():
+    """A (12,) per-epoch vector whose length divides the mesh must be
+    REPLICATED, not sharded (review finding: htl_weights on 4 devices)."""
+    import jax
+    import numpy as np
+
+    from yolov10_3d_tpu.parallel.mesh import get_mesh, shard_batch
+
+    mesh = get_mesh()
+    n = len(jax.devices())
+    B = n * 2
+    batch = {
+        "img": np.zeros((B, 8, 8, 3), np.float32),
+        "htl_weights": np.arange(12, dtype=np.float32),  # 12 % n == 0 for n in (1,2,4)
+        "gt_labels": np.zeros((B, 5), np.int32),
+    }
+    placed = shard_batch(batch, mesh)
+    assert placed["htl_weights"].shape == (12,)
+    assert placed["htl_weights"].sharding.is_fully_replicated
+    assert placed["img"].shape == (B, 8, 8, 3)
+    if n > 1:
+        assert not placed["img"].sharding.is_fully_replicated

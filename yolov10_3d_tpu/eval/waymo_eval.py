@@ -47,6 +47,10 @@ def _match_frame(gt_boxes: np.ndarray, dt_boxes: np.ndarray, iou_thr: float):
     if D == 0 or G == 0:
         return out, iou_out
     iou = d3_box_overlap(gt_boxes, dt_boxes)  # (G, D)
+    # zero sub-threshold pairs BEFORE assignment (the Waymo matcher does the
+    # same): otherwise two below-threshold pairs can outscore one valid
+    # match and suppress it, deflating AP/APH (review finding)
+    iou = np.where(iou >= iou_thr, iou, 0.0)
     from scipy.optimize import linear_sum_assignment
 
     gi, di = linear_sum_assignment(-iou)
@@ -131,7 +135,10 @@ def waymo_detection_metrics(
             gb = np.asarray(g["boxes7"], np.float64)[g_sel] if g is not None else np.zeros((0, 7))
             db = np.asarray(d["boxes7"], np.float64)[d_sel] if d is not None else np.zeros((0, 7))
             gdiff = (
-                np.asarray(g.get("difficulty", np.ones(len(gb))), np.int64)[g_sel]
+                np.asarray(
+                    g.get("difficulty", np.ones(len(np.asarray(g["type"])))),
+                    np.int64,
+                )[g_sel]  # default sized to the UNFILTERED frame (review)
                 if g is not None else np.zeros(0, np.int64)
             )
             score = np.asarray(d["score"], np.float64)[d_sel] if d is not None else np.zeros(0)
@@ -177,14 +184,15 @@ def waymo_detection_metrics(
 
 
 def kitti_rows_to_frames(
-    results: Dict[str, List], gt: bool = False
+    results: Dict[str, List]
 ) -> Dict[int, Dict[str, np.ndarray]]:
-    """KITTI txt-style rows (data/kitti.py decode_preds layout:
-    [cls, alpha, x1, y1, x2, y2, h, w, l, x, y, z, ry, score]) -> waymo frames."""
+    """KITTI txt-style prediction rows (data/kitti.py decode_preds layout:
+    [cls, alpha, x1, y1, x2, y2, h, w, l, x, y, z, ry, score]) -> waymo
+    frames. (GT frames are built by the dataset directly — waymo.py.)"""
     frames = {}
     for fname, rows in results.items():
         fid = int(str(fname).split(".")[0])
-        rows = np.asarray(rows, np.float64).reshape(-1, 14 if not gt else 14)
+        rows = np.asarray(rows, np.float64).reshape(-1, 14)
         boxes7 = np.stack(
             [rows[:, 9], rows[:, 10], rows[:, 11], rows[:, 8], rows[:, 6], rows[:, 7], rows[:, 12]],
             -1,

@@ -52,35 +52,6 @@ def _tile_offsets(H: int, W: int) -> jax.Array:
     return jnp.asarray([[0, 0], [0, W], [H, 0], [H, W]], jnp.float32)
 
 
-def _hsv_device(img: jax.Array, gains: jax.Array) -> jax.Array:
-    """Batched HSV jitter in [0,1] RGB (reference augment.py:584 RandomHSV).
-    gains (B,3): multiplicative (1+r*hgain, 1+r*sgain, 1+r*vgain)."""
-    r, g, b = img[..., 0], img[..., 1], img[..., 2]
-    mx = jnp.maximum(jnp.maximum(r, g), b)
-    mn = jnp.minimum(jnp.minimum(r, g), b)
-    d = mx - mn + 1e-12
-    h = jnp.where(
-        mx == r, (g - b) / d % 6.0, jnp.where(mx == g, (b - r) / d + 2.0, (r - g) / d + 4.0)
-    ) / 6.0
-    s = jnp.where(mx > 0, d / (mx + 1e-12), 0.0)
-    v = mx
-    gh, gs, gv = (gains[:, i][:, None, None] for i in range(3))
-    h = (h * gh) % 1.0
-    s = jnp.clip(s * gs, 0.0, 1.0)
-    v = jnp.clip(v * gv, 0.0, 1.0)
-    # hsv -> rgb
-    i = jnp.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1 - s)
-    q = v * (1 - f * s)
-    t = v * (1 - (1 - f) * s)
-    i = i.astype(jnp.int32) % 6
-    r2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
-    g2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
-    b2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
-    return jnp.stack([r2, g2, b2], -1)
-
-
 @functools.partial(jax.jit, static_argnames=("out_hw", "crop_hw", "max_boxes"))
 def device_train_augment(
     tiles_u8: jax.Array,     # (B, 4, H, W, 3) uint8, tiles pre-sized on host
@@ -110,8 +81,9 @@ def device_train_augment(
 
     # random crop window == the reference's random mosaic center
     # (independent keys per axis: one shared key would pin oy == ox)
-    oy = jax.random.randint(k_oy, (B,), 0, max(2 * H - ch, 1))
-    ox = jax.random.randint(k_ox, (B,), 0, max(2 * W - cw, 1))
+    # maxval is exclusive: +1 so the far-edge crop position is reachable
+    oy = jax.random.randint(k_oy, (B,), 0, max(2 * H - ch, 0) + 1)
+    ox = jax.random.randint(k_ox, (B,), 0, max(2 * W - cw, 0) + 1)
     crop = jax.vmap(
         lambda c, y, x: jax.lax.dynamic_slice(c, (y, x, 0), (ch, cw, 3))
     )(canvas, oy, ox)
@@ -120,7 +92,9 @@ def device_train_augment(
     # HSV + flip
     r3 = jax.random.uniform(k_hsv, (B, 3), minval=-1.0, maxval=1.0)
     gains = 1.0 + r3 * jnp.asarray(hsv_gains)
-    img = _hsv_device(img, gains)
+    from .pallas_preprocess import hsv_jitter_jnp
+
+    img = hsv_jitter_jnp(img, gains)
     flip = jax.random.uniform(k_flip, (B,)) < fliplr
     img = jnp.where(flip[:, None, None, None], img[:, :, ::-1], img)
 

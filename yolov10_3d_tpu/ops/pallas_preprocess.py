@@ -79,6 +79,37 @@ def _hsv_kernel(img_ref, gains_ref, out_ref):
     out_ref[0, 2] = pick(p, p, t, v, v, q)
 
 
+def hsv_jitter_jnp(img: jax.Array, gains: jax.Array) -> jax.Array:
+    """Pure-jnp batched HSV jitter — the single shared implementation
+    (device_aug composes it into the train step; the Pallas kernel below is
+    its fused serving-path counterpart). imgs (B,H,W,3) fp32 [0,1];
+    gains (B,3) multiplicative."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    d = mx - mn + 1e-12
+    h = jnp.where(
+        mx == r, (g - b) / d % 6.0, jnp.where(mx == g, (b - r) / d + 2.0, (r - g) / d + 4.0)
+    ) / 6.0
+    s = jnp.where(mx > 0, d / (mx + 1e-12), 0.0)
+    v = mx
+    gh, gs, gv = (gains[:, i][:, None, None] for i in range(3))
+    h = (h * gh) % 1.0
+    s = jnp.clip(s * gs, 0.0, 1.0)
+    v = jnp.clip(v * gv, 0.0, 1.0)
+    # hsv -> rgb
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1 - s)
+    q = v * (1 - f * s)
+    t = v * (1 - (1 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
+    g2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
+    b2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return jnp.stack([r2, g2, b2], -1)
+
+
 def hsv_jitter(imgs: jax.Array, gains: jax.Array, interpret: Optional[bool] = None) -> jax.Array:
     """Batched HSV jitter. imgs (B, H, W, 3) fp32 [0,1]; gains (B, 3)
     multiplicative (gh, gs, gv). Pallas kernel, one grid step per image."""

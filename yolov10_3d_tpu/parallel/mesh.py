@@ -35,17 +35,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _batch_size_of(batch: Dict[str, Any]) -> int:
+    """The batch's leading dim, read off the image/tile leaf — the ONLY
+    reliable batch-axis signal. Divisibility heuristics misclassify
+    per-epoch vectors whose length happens to divide the mesh (a (12,) HTL
+    weight vector on 4 devices — review finding)."""
+    for k in ("img", "tiles"):
+        v = batch.get(k)
+        if getattr(v, "ndim", 0) > 0:
+            return int(v.shape[0])
+    dims = [x.shape[0] for x in jax.tree.leaves(batch) if getattr(x, "ndim", 0) > 0]
+    return max(set(dims), key=dims.count) if dims else 0
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "dp") -> Dict[str, Any]:
-    """Place every array in the batch with its leading dim sharded over dp.
-    Arrays whose leading dim doesn't divide the mesh (per-epoch scalars like
-    HTL weights) are replicated instead."""
-    n = int(np.prod(mesh.devices.shape))
+    """Place batch-axis arrays with their leading dim sharded over `axis`;
+    everything else (per-epoch vectors like HTL weights) replicated."""
+    n_axis = int(mesh.shape[axis])  # NOT total devices: (dp, sp) meshes
     sh = batch_sharding(mesh, axis)
     rep = replicated(mesh)
+    B = _batch_size_of(batch)
 
     def place(x):
-        divisible = getattr(x, "ndim", 0) > 0 and x.shape[0] % n == 0
-        return jax.device_put(x, sh if divisible else rep)
+        is_batch = (
+            getattr(x, "ndim", 0) > 0 and x.shape[0] == B and B % n_axis == 0
+        )
+        return jax.device_put(x, sh if is_batch else rep)
 
     return jax.tree.map(place, batch)
 
@@ -85,15 +100,19 @@ def make_global_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "dp") -> Di
     n_proc = jax.process_count()
     if n_proc == 1:
         return shard_batch(batch, mesh, axis)
-    n = int(np.prod(mesh.devices.shape))
+    n_axis = int(mesh.shape[axis])
     sh = batch_sharding(mesh, axis)
     rep = replicated(mesh)
+    B = _batch_size_of(batch)
 
     def mk(x):
         x = np.asarray(x)
-        local_b = x.shape[0] if x.ndim else 0
-        if x.ndim > 0 and (local_b * n_proc) % n == 0 and local_b > 0:
-            gshape = (local_b * n_proc,) + x.shape[1:]
+        is_batch = (
+            x.ndim > 0 and x.shape[0] == B and B > 0
+            and (B * n_proc) % n_axis == 0
+        )
+        if is_batch:
+            gshape = (x.shape[0] * n_proc,) + x.shape[1:]
             return jax.make_array_from_process_local_data(sh, x, gshape)
         return jax.make_array_from_process_local_data(rep, x, x.shape)
 
