@@ -87,3 +87,25 @@ def test_classification_training_e2e(tmp_path):
     from yolov10_3d_tpu.engine.trainer_tasks import ClassificationTrainer
 
     assert isinstance(m.trainer, ClassificationTrainer)
+
+
+def test_v8_detect_training_e2e(tmp_path):
+    """Plain Detect heads train with the single-assignment TAL loss."""
+    split = _det_tree(tmp_path, lambda i: "0 0.5 0.5 0.4 0.4\n1 0.3 0.3 0.2 0.2\n")
+    m = _train("yolov8.yaml", _yaml(tmp_path, split), tmp_path)
+    from yolov10_3d_tpu.engine.trainer_tasks import V8DetectionTrainer
+
+    assert isinstance(m.trainer, V8DetectionTrainer)
+
+
+def test_obb_training_e2e(tmp_path):
+    """OBB trains on DOTA corner-format labels end-to-end."""
+    split = _det_tree(
+        tmp_path,
+        lambda i: "0 0.3 0.2 0.7 0.3 0.65 0.5 0.25 0.4\n"
+                  "1 0.6 0.6 0.9 0.65 0.88 0.8 0.58 0.75\n",
+    )
+    m = _train("yolov8-obb.yaml", _yaml(tmp_path, split), tmp_path)
+    from yolov10_3d_tpu.engine.trainer_tasks import OBBTrainer
+
+    assert isinstance(m.trainer, OBBTrainer)

@@ -30,8 +30,17 @@ class DetectionValidator:
         @jax.jit
         def fwd(variables, x):
             x = x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
-            feats = self.model.apply(variables, x, train=False)["one2one"]
-            det = v10_detections(feats, spec.strides, spec.nc, max_det=max_det)
+            out = self.model.apply(variables, x, train=False)
+            if isinstance(out, dict):  # v10 NMS-free dual head
+                det = v10_detections(
+                    out["one2one"], spec.strides, spec.nc, max_det=max_det
+                )
+            else:  # plain Detect list output (v8/v9/v5/...): NMS epilogue
+                from ..ops.postprocess import v8_detections
+
+                det = v8_detections(
+                    out, spec.strides, spec.nc, conf=0.001, max_det=max_det
+                )
             return det["boxes"], det["scores"], det["labels"]
 
         return fwd
