@@ -25,14 +25,12 @@ IMG_FORMATS = {"bmp", "jpeg", "jpg", "png", "tif", "tiff", "webp"}
 
 
 def img2label_path(img_path: str) -> str:
-    """images/... .jpg -> labels/... .txt (reference data/utils.py)."""
-    sa, sb = f"{Path(img_path).parent.name}", ""
-    p = Path(img_path)
-    parts = list(p.parts)
-    for i, seg in enumerate(parts):
-        if seg == "images":
-            parts[i] = "labels"
-    return str(Path(*parts).with_suffix(".txt"))
+    """images/... .jpg -> labels/... .txt — delegates to the canonical
+    data/utils.img2label_paths (one mapping, reference rsplit-last
+    semantics; this module used to keep a divergent copy)."""
+    from .utils import img2label_paths
+
+    return img2label_paths([img_path])[0]
 
 
 def _load_image(path: str) -> np.ndarray:
