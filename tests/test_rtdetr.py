@@ -136,7 +136,7 @@ def test_rtdetr_forward_parity_with_converted_weights():
     xs = [np.asarray(inter[f"model_{i}"]["__call__"][0]) for i in (21, 24, 27)]
     feats_l = []
     for i, x in enumerate(xs):
-        p = m.input_proj[i][1](m.input_proj[i][0](jnp.asarray(x)))
+        p = m.input_proj[i][1](m.input_proj[i][0](jnp.asarray(x)), use_running_average=True)
         feats_l.append(p.reshape(p.shape[0], -1, p.shape[-1]))
     feats_j = jnp.concatenate(feats_l, 1)
     assert np.abs(np.asarray(feats_j) - caps["feats"]).max() < 2e-4

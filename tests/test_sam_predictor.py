@@ -90,3 +90,13 @@ def test_remove_small_regions():
     out, keep = SAMPredictor.remove_small_regions(m, min_area=8)
     assert not out[list(keep).index(0)][25, 25]  # island removed
     assert out[list(keep).index(1)][10, 10]  # hole filled
+
+
+def test_mixed_point_box_prompts(predictor):
+    """3 points + 3 boxes share one padded prompt batch (this combination
+    crashed on the sparse-embedding concat; review finding)."""
+    m, sc = predictor.prompt_inference(
+        points=[[10, 10], [20, 20], [30, 30]],
+        bboxes=[[5, 5, 30, 30], [10, 10, 40, 40], [15, 15, 50, 50]],
+    )
+    assert len(sc) == 3 and m.shape[0] == 3

@@ -107,6 +107,7 @@ class SAMPredictor:
 
         n_prompts = 0
         coords = lab = None
+        pts = lbl = None
         if points is not None:
             pts = np.atleast_2d(np.asarray(points, np.float32)) * r
             lbl = (
@@ -114,21 +115,32 @@ class SAMPredictor:
                 if labels is None
                 else np.asarray(labels, np.int32).reshape(-1)
             )
-            # each point is its own prompt: (N, 1, 2) / (N, 1)
-            n = _next_pow2(len(pts))
+            n_prompts = len(pts)
+        bx0 = None
+        if bboxes is not None:
+            bx0 = np.atleast_2d(np.asarray(bboxes, np.float32)) * r
+            n_prompts = max(n_prompts, len(bx0))
+        mk0 = None
+        if masks is not None:
+            mk0 = np.asarray(masks, np.float32)[..., None]  # (N, 256, 256, 1)
+            n_prompts = max(n_prompts, len(mk0))
+        # ALL prompt kinds pad to ONE pow2 batch: the prompt encoder concats
+        # sparse embeddings along axis=1, so mixed point+box prompts must
+        # share the batch dim (review finding: 3 points + 3 boxes crashed)
+        n = _next_pow2(max(n_prompts, 1))
+        if pts is not None:
             coords = np.zeros((n, 1, 2), np.float32)
-            lab = -np.ones((n, 1), np.int32)
+            lab = -np.ones((n, 1), np.int32)  # -1 = padding label
             coords[: len(pts), 0] = pts
             lab[: len(pts), 0] = lbl
-            n_prompts = len(pts)
         bx = None
-        if bboxes is not None:
-            bx = np.atleast_2d(np.asarray(bboxes, np.float32)) * r
-            n_prompts = max(n_prompts, len(bx))
+        if bx0 is not None:
+            bx = np.zeros((n, 4), np.float32)
+            bx[: len(bx0)] = bx0
         mk = None
-        if masks is not None:
-            mk = np.asarray(masks, np.float32)[..., None]  # (N, 256, 256, 1)
-            n_prompts = max(n_prompts, len(mk))
+        if mk0 is not None:
+            mk = np.zeros((n, *mk0.shape[1:]), np.float32)
+            mk[: len(mk0)] = mk0
 
         fn = self._decode_fn(
             0 if coords is None else coords.shape[0],
@@ -146,8 +158,7 @@ class SAMPredictor:
         )
         m = np.asarray(out_masks, np.float32)
         sc = np.asarray(out_scores, np.float32)
-        if coords is not None and bx is None and mk is None:
-            m, sc = m[:n_prompts], sc[:n_prompts]  # drop pow2 padding
+        m, sc = m[:n_prompts], sc[:n_prompts]  # drop the shared pow2 padding
         # (N, d, h, w) -> (N*d, h, w) as in reference predict.py:208
         return m.reshape(-1, *m.shape[2:]), sc.reshape(-1)
 
@@ -218,18 +229,25 @@ class SAMPredictor:
             if len(m) == 0:
                 continue
             binm = m > self.mask_threshold
+            # masks decode from the FULL-image embedding with full-image grid
+            # points (no per-crop re-encode), so boxes are already in image
+            # coordinates — no uncrop anywhere (a second offset shifted every
+            # non-full-crop box off its mask; review finding). The edge
+            # filter expects crop-frame boxes, so shift into the crop frame
+            # for the test only.
             boxes = np.asarray(amg.batched_mask_to_box(jnp.asarray(binm)), np.float32)
+            x0y0 = np.array([crop_region[0], crop_region[1]] * 2, np.float32)
             edge = np.asarray(
-                amg.is_box_near_crop_edge(jnp.asarray(boxes), crop_region, [0, 0, s, s])
+                amg.is_box_near_crop_edge(
+                    jnp.asarray(boxes - x0y0), crop_region, [0, 0, s, s]
+                )
             )
             if crop_region != [0, 0, s, s]:
                 binm, sc, boxes = binm[~edge], sc[~edge], boxes[~edge]
             keep = nms_numpy(boxes, sc, self.iou)
             all_masks.append(binm[keep])
             all_scores.append(sc[keep])
-            all_boxes.append(
-                np.asarray(amg.uncrop_boxes_xyxy(jnp.asarray(boxes[keep]), crop_region))
-            )
+            all_boxes.append(boxes[keep])
         if not all_masks:
             z = self.model.img_size // 4
             return np.zeros((0, z, z), bool), np.zeros(0), np.zeros((0, 4))

@@ -90,7 +90,11 @@ def parse_model_yaml(
 
         path = Path(cfg)
         stem = path.stem
-        m = re.search(r"yolov10([nsmblx])", stem)
+        # any family, like the reference guess_model_scale (tasks.py):
+        # yolov8s, yolov9c, yolov10b, yolo11n, rtdetr-l, ...
+        m = re.search(r"yolov?\d*[-_]?([nsmblxce])(?:[-_.]|$)", stem) or re.search(
+            r"[-_]([nsmblx])$", stem
+        )
         if scale is None and m:
             scale = m.group(1)
         with open(path) as f:
@@ -384,7 +388,10 @@ def _build_module(spec: LayerSpec, name: str, extras: Dict[str, Any]):
     if spec.module == "PSA":
         return M.PSA(a[0], name=name)
     if spec.module == "Upsample":
-        return M.Upsample(2, name=name)
+        # args = [size(None), scale_factor, mode]; the spec's stride
+        # bookkeeping reads the same slot (a hardcoded 2 contradicted it)
+        factor = int(a[1]) if len(a) > 1 and a[1] else 2
+        return M.Upsample(factor, name=name)
     if spec.module == "ConvTranspose2d":
         k = a[1] if len(a) > 1 else 2
         s = a[2] if len(a) > 2 else 2

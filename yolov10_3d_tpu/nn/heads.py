@@ -246,4 +246,12 @@ def detect_bias_init(params: dict, nc: int, strides: Sequence[int]) -> dict:
                 params[key]["bias"] = jnp.full_like(
                     b, math.log(5 / nc / (640 / s) ** 2)
                 )
+    # v10 dual head: one2one branches are the reference's deepcopies of the
+    # o2m cv2/cv3 (head.py:869-870) — mirror the full subtrees so both
+    # branches start IDENTICAL (review finding: kernels were independent)
+    for k in list(params.keys()):
+        if k.startswith(("cv2_", "cv3_")):
+            dst = "one2one_" + k
+            if dst in params:
+                params[dst] = jax.tree.map(jnp.array, params[k])
     return params

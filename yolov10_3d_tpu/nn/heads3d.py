@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .heads import _conv1x1, _run_seq
 from .modules import Conv
 
 OUTPUT_CHANNELS = {
@@ -46,10 +47,6 @@ PREDECESSORS = {
     "dep_un": ["cls", "s3d", "dep"],
 }
 DEP_NORM = 65.0
-
-
-def _conv1x1(features: int) -> nn.Conv:
-    return nn.Conv(features=features, kernel_size=(1, 1), padding="VALID", use_bias=True)
 
 
 def _build_conv(c2: int, k: int, dsconv: bool) -> object:
@@ -143,14 +140,7 @@ class V10Detect3d(nn.Module):
     # torch-key parity we instead expose properties below.
 
     def _run(self, mods, x, train):
-        for m in mods:
-            if isinstance(m, (list, tuple)):
-                x = self._run(m, x, train)
-            elif isinstance(m, nn.Conv):
-                x = m(x)
-            else:
-                x = m(x, train)
-        return x
+        return _run_seq(mods, x, train)  # shared sequential runner (heads.py)
 
     def _forward_feat(self, xs, heads, train):
         """head.py:717 ``forward_feat``: run 8 branches per scale, chaining
@@ -234,7 +224,7 @@ class DepthPredictor(nn.Module):
             np.concatenate([bin_value, [self.depth_max]]).astype(np.float32)
         )
         d = self.hidden
-        gn = lambda: nn.GroupNorm(num_groups=32)
+        gn = lambda: nn.GroupNorm(num_groups=32, epsilon=1e-5)  # torch default (flax is 1e-6)
         self.downsample = [
             nn.Conv(d, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]), gn()
         ]
@@ -288,12 +278,9 @@ def detect3d_bias_init(params: dict, nc: int, strides: Sequence[int], rng=None) 
                 return k
         raise KeyError(f"no final conv for {prefix}{name}_{i}")
 
-    for prefix_i, prefix in enumerate(("", "o2m_heads_")):
+    for prefix in ("",):  # o2o only; o2m becomes an exact copy below
         for i, s in enumerate(strides):
             def pkey(name):
-                if prefix == "o2m_heads_":
-                    j = names.index(name)
-                    return final_key(prefix, str(j), i)
                 return final_key(prefix, name, i)
 
             cls_k = pkey("cls")
@@ -314,4 +301,17 @@ def detect3d_bias_init(params: dict, nc: int, strides: Sequence[int], rng=None) 
             params[pkey("dep")]["kernel"] = jnp.asarray(
                 rng.uniform(lo, hi, wd.shape).astype(np.float32)
             )
+    # o2m = exact copy of the bias-initialized o2o branches, matching the
+    # reference's post-bias_init deepcopy (head.py:869-870) so the dual
+    # branches start IDENTICAL (review finding: they started independent)
+    import re
+
+    for j, nm in enumerate(names):
+        pat = re.compile(rf"^{re.escape(nm)}_(\d+.*)$")
+        for k in list(params.keys()):
+            m = pat.match(k)
+            if m:
+                dst = f"o2m_heads_{j}_{m.group(1)}"
+                if dst in params:
+                    params[dst] = jax.tree.map(jnp.array, params[k])
     return params

@@ -747,7 +747,6 @@ class HGBlock(nn.Module):
     shortcut: bool = False
 
     def setup(self):
-        block = LightConv if self.lightconv else Conv
         if self.lightconv:
             self.m = [LightConv(self.cm, self.k, act="relu") for _ in range(self.n)]
         else:
@@ -1040,8 +1039,10 @@ class BottleneckCSP(nn.Module):
         y1 = nn.Conv(c_, (1, 1), use_bias=False, name="cv3")(y)
         y2 = nn.Conv(c_, (1, 1), use_bias=False, name="cv2")(x)
         cat = jnp.concatenate([y1, y2], -1)
+        # eps/momentum: the reference's initialize_weights forces 1e-3/0.03
+        # on EVERY BatchNorm2d (torch_utils.py:333-335), this one included
         cat = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS, name="bn"
         )(cat)
         return Conv(self.c2, 1, 1, name="cv4")(nn.silu(cat), train)
 
@@ -1111,7 +1112,8 @@ class ConvTransposeBlock(nn.Module):
             x = x[:, self.p : -self.p, self.p : -self.p]
         if self.bn:
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+                use_running_average=not train, momentum=BN_MOMENTUM,
+                epsilon=BN_EPS, name="bn",
             )(x)
         return apply_act(x, self.act)
 

@@ -42,7 +42,10 @@ class RTDETRDecoder(nn.Module):
         self.input_proj = [
             [
                 nn.Conv(self.hd, (1, 1), use_bias=False, padding="VALID"),
-                nn.BatchNorm(use_running_average=True, momentum=0.97, epsilon=1e-5),
+                # trains like every other BN (mutable batch_stats path);
+                # eps/momentum follow the reference's initialize_weights,
+                # which forces 1e-3/0.03 on ALL BatchNorm2d (torch_utils.py:333)
+                nn.BatchNorm(momentum=0.97, epsilon=1e-3),
             ]
             for _ in self.ch
         ]
@@ -105,7 +108,9 @@ class RTDETRDecoder(nn.Module):
         feats_l = []
         shapes = []
         for i, x in enumerate(xs):
-            p = self.input_proj[i][1](self.input_proj[i][0](x))
+            p = self.input_proj[i][1](
+                self.input_proj[i][0](x), use_running_average=not train
+            )
             B, H, W, C = p.shape
             feats_l.append(p.reshape(B, H * W, C))
             shapes.append((H, W))

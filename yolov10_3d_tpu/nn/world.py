@@ -156,8 +156,11 @@ class BNContrastiveHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, w: jax.Array, train: bool = False) -> jax.Array:
+        from .modules import BN_EPS, BN_MOMENTUM
+
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="norm"
+            use_running_average=not train, momentum=BN_MOMENTUM,
+            epsilon=BN_EPS, name="norm",
         )(x)
         bias = self.param("bias", nn.initializers.zeros, ())
         logit_scale = self.param(
