@@ -88,6 +88,15 @@ def entrypoint(argv=None) -> int:
             for d in r.summary():
                 print(f"  {d['name']} {d['confidence']:.3f} {d['box']}")
         return 0
+    if mode == "track":
+        source = kv.pop("source", None)
+        if source is None:
+            raise SystemExit("track requires source=...")
+        tracker = kv.pop("tracker", "bytetrack")
+        for r in model.track(source, tracker=tracker, persist=True, **kv):
+            n = len(r.boxes) if r.boxes is not None else 0
+            print(f"{r.path}: {n} tracks")
+        return 0
     if mode == "val":
         res = model.val(**kv)
         print({k: round(v, 5) for k, v in res.items() if isinstance(v, float)})

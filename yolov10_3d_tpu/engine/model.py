@@ -248,7 +248,10 @@ class Model:
         validator = DetectionValidator(self.model, self.spec, args, d["names"])
         return validator(self.variables, loader, conf=kwargs.get("conf", 0.001))
 
-    def train(self, **kwargs):
+    def train(self, teacher=None, **kwargs):
+        """teacher: optional frozen feature extractor
+        (imgs (B,H,W,3) fp32 [0,1] -> (B,Ht,Wt,C) np embeddings) consumed by
+        the 3D trainer's distillation/fgdm_supervision losses."""
         from .trainer import DetectionTrainer
         from .trainer3d import Detection3DTrainer, RTDETRTrainer
 
@@ -263,6 +266,8 @@ class Model:
 
             cls = TASK_TRAINERS.get(self.spec.head_module, DetectionTrainer)
         trainer = cls(cfg)
+        if teacher is not None:
+            trainer.teacher = teacher  # frozen distillation teacher callable
         self.trainer = trainer  # surfaced for tune() / callback attachment
         state = trainer.train()
         if state is not None:
@@ -301,14 +306,18 @@ class Model:
         if not persist or not hasattr(self, "_tracker"):
             self._tracker = BOTSORT() if "botsort" in str(tracker) else BYTETracker()
         results = self.predict(source, **kwargs)
+        # BoT-SORT gets the frame for camera-motion compensation (the GMC was
+        # dead code without it — review finding); ByteTrack takes no frame
+        frame_kw = {} if not hasattr(self._tracker, "gmc") else None
         for r in results:
             b = r.boxes
+            kw = {"img": r.orig_img} if frame_kw is None else {}
             if b is None or len(b) == 0:
                 tracks = self._tracker.update(
-                    np.zeros((0, 4)), np.zeros(0), np.zeros(0)
+                    np.zeros((0, 4)), np.zeros(0), np.zeros(0), **kw
                 )
             else:
-                tracks = self._tracker.update(b.xyxy, b.conf, b.cls)
+                tracks = self._tracker.update(b.xyxy, b.conf, b.cls, **kw)
             # re-order result rows to the tracker output: x1y1x2y2, conf, cls, id
             if len(tracks):
                 data = np.concatenate(

@@ -17,7 +17,9 @@ class RTDETRTrainer(DetectionTrainer):
     the DETR loss over decoder/encoder outputs, with contrastive denoising
     groups built inside the head (train/cdn.py)."""
 
-    num_denoising = 100  # reference head.py:300 nd
+    # single source of truth for the denoising budget: the head's constant
+    # (a drifting local copy would silently mis-slice dn_num_split)
+    from ..nn.rtdetr_head import DEFAULT_NUM_DENOISING as num_denoising
 
     def make_loss(self, spec):
         from ..train.detr_loss import rtdetr_loss
@@ -184,14 +186,28 @@ class Detection3DTrainer(DetectionTrainer):
                 depth_max=float(hyp.get("max_depth_threshold", 120.0)),
             )
 
-        distill_fn = None
+        if (hyp.get("distillation") or hyp.get("fgdm_supervision")) and self.teacher is None:
+            from ..utils import LOGGER
+
+            LOGGER.warning(
+                "distillation/fgdm_supervision configured but no teacher is "
+                "set — pass Model.train(teacher=...) or set trainer.teacher; "
+                "the distillation terms are SKIPPED this run"
+            )
+        head_distill_fn = None
         if hyp.get("distillation") and self.teacher is not None:
             import jax.numpy as jnp
 
             from ..train.distill import supervision_head_loss
 
-            def distill_fn(preds, batch, aux):
+            def head_distill_fn(preds, batch, aux):
                 embs = [e for e in preds["o2m_embs"] if e is not None]
+                if not embs:
+                    raise ValueError(
+                        "distillation=True needs depth-branch embeddings, but "
+                        "this head config exposes none (common_head: true "
+                        "skips them — use the standard per-branch head)"
+                    )
                 pred_emb = jnp.concatenate(
                     [e.reshape(e.shape[0], -1, e.shape[-1]) for e in embs], axis=1
                 )
@@ -210,6 +226,40 @@ class Detection3DTrainer(DetectionTrainer):
                     weight=float(hyp.get("distillation_weight", 0.75)),
                     no_mixup=bool(hyp.get("distillation_no_mixup", True)),
                 )
+
+        fgdm_sup_fn = None
+        if hyp.get("fgdm_supervision") and self.teacher is not None:
+            import jax.numpy as jnp
+
+            from ..train.distill import supervision_fgdm_loss
+
+            def fgdm_sup_fn(preds, batch, aux):
+                # reference loss.py:1191-1211 forward_fgdm: distill the
+                # DepthPredictor embeddings toward the frozen teacher on
+                # foreground-depth pixels (needs fgdm_predictor: true +
+                # load_depth_maps targets)
+                if "depth_maps" not in preds:
+                    raise ValueError(
+                        "fgdm_supervision=True requires fgdm_predictor: true "
+                        "in the model yaml (no depth_maps in the head output)"
+                    )
+                return supervision_fgdm_loss(
+                    batch["teacher_embeddings"].astype(jnp.float32),
+                    preds["depth_maps"][2],
+                    batch["depth_map"],
+                    criterion=str(hyp.get("distillation_loss", "soft")),
+                    T=float(hyp.get("distillation_temp", 2.0)),
+                    weight=float(hyp.get("fgdm_supervision_weight", 1.0) or 1.0),
+                )
+
+        distill_fn = None
+        parts = [f for f in (head_distill_fn, fgdm_sup_fn) if f is not None]
+        if parts:
+            def distill_fn(preds, batch, aux):
+                total = 0.0
+                for f in parts:
+                    total = total + f(preds, batch, aux)
+                return total
 
         def loss_fn(preds, batch):
             return detect3d_loss(

@@ -21,6 +21,9 @@ from .transformer import (
 )
 
 
+DEFAULT_NUM_DENOISING = 100  # reference head.py:300 nd
+
+
 class RTDETRDecoder(nn.Module):
     nc: int = 80
     ch: Tuple[int, ...] = (512, 1024, 2048)
@@ -30,7 +33,7 @@ class RTDETRDecoder(nn.Module):
     nh: int = 8
     ndl: int = 6
     d_ffn: int = 1024
-    nd: int = 100  # num denoising queries (reference head.py:300)
+    nd: int = DEFAULT_NUM_DENOISING  # num denoising queries (reference head.py:300)
     label_noise_ratio: float = 0.5
     box_noise_scale: float = 1.0
 

@@ -71,28 +71,33 @@ class BOTSORT(BYTETracker):
     def __init__(self, gmc_method: str = "sparseOptFlow", **kwargs):
         super().__init__(**kwargs)
         self.gmc = GMC(gmc_method)
-        STrack.shared_kalman  # ByteTrack uses XYAH; BoT-SORT swaps XYWH below
-        self._kf = KalmanFilterXYWH()
+        # BoT-SORT runs the XYWH Kalman parameterisation end-to-end (review
+        # finding: the filter was created but tracks still used XYAH)
+        self.kf = KalmanFilterXYWH()
+        self.fmt = "xywh"
 
     @staticmethod
     def _apply_warp(tracks: List[STrack], H: np.ndarray):
-        """Warp track means through the camera motion (gmc.py multi_gmc)."""
+        """Warp means AND covariances through the camera motion (reference
+        byte_tracker.py multi_gmc: R8x8 = kron(I4, R); covariance rotated
+        too — review finding: cov was left unwarped)."""
         if len(tracks) == 0:
             return
-        R = H[:2, :2]
-        t = H[:2, 2]
+        R = H[:2, :2].astype(np.float64)
+        t = H[:2, 2].astype(np.float64)
+        R8 = np.kron(np.eye(4), R)
         for trk in tracks:
             if trk.mean is None:
                 continue
-            m = trk.mean.copy()
-            # XYAH mean: position part
-            m[:2] = R @ m[:2] + t
-            m[4:6] = R @ m[4:6]
+            m = R8 @ trk.mean
+            m[:2] += t
             trk.mean = m
+            trk.covariance = R8 @ trk.covariance @ R8.T
 
     def update(self, boxes, scores, classes, img: Optional[np.ndarray] = None):
         if img is not None:
             H = self.gmc.apply(img)
-            self._apply_warp([t for t in self.tracked if t.is_activated], H)
+            # ALL tracked (incl. unconfirmed) + lost, like the reference
+            self._apply_warp(self.tracked, H)
             self._apply_warp(self.lost, H)
         return super().update(boxes, scores, classes)

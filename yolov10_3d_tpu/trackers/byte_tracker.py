@@ -29,6 +29,11 @@ def xyxy_to_xyah(xyxy):
     return np.array([x1 + w / 2, y1 + h / 2, w / max(h, 1e-6), h])
 
 
+def xyxy_to_xywh(xyxy):
+    x1, y1, x2, y2 = xyxy
+    return np.array([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1])
+
+
 def iou_distance(atracks, btracks):
     if len(atracks) == 0 or len(btracks) == 0:
         return np.ones((len(atracks), len(btracks)))
@@ -87,8 +92,14 @@ class STrack:
     shared_kalman = KalmanFilterXYAH()
     _count = 0
 
-    def __init__(self, xyxy, score, cls):
-        self._xyah = xyxy_to_xyah(np.asarray(xyxy, float))
+    def __init__(self, xyxy, score, cls, kf=None, fmt: str = "xyah"):
+        # per-instance filter + measurement parameterisation so BoT-SORT
+        # actually runs its XYWH Kalman (review finding: the XYWH filter
+        # was instantiated but every track still used the class-level XYAH)
+        self.kf = kf if kf is not None else STrack.shared_kalman
+        self.fmt = fmt
+        xyxy = np.asarray(xyxy, float)
+        self._xyah = xyxy_to_xyah(xyxy) if fmt == "xyah" else xyxy_to_xywh(xyxy)
         self.score = float(score)
         self.cls = int(cls)
         self.mean = None
@@ -111,18 +122,18 @@ class STrack:
             x, y, a, h = self._xyah
         else:
             x, y, a, h = self.mean[:4]
-        w = a * h
+        w = a * h if self.fmt == "xyah" else a  # xywh: slot 2 IS the width
         return np.array([x - w / 2, y - h / 2, x + w / 2, y + h / 2])
 
     def predict(self):
         mean = self.mean.copy()
         if self.state != TrackState.Tracked:
             mean[7] = 0
-        self.mean, self.covariance = self.shared_kalman.predict(mean, self.covariance)
+        self.mean, self.covariance = self.kf.predict(mean, self.covariance)
 
     def activate(self, frame_id):
         self.track_id = self.next_id()
-        self.mean, self.covariance = self.shared_kalman.initiate(self._xyah)
+        self.mean, self.covariance = self.kf.initiate(self._xyah)
         self.state = TrackState.Tracked
         self.is_activated = frame_id == 1
         self.frame_id = frame_id
@@ -130,7 +141,7 @@ class STrack:
         self.tracklet_len = 0
 
     def re_activate(self, det, frame_id, new_id=False):
-        self.mean, self.covariance = self.shared_kalman.update(
+        self.mean, self.covariance = self.kf.update(
             self.mean, self.covariance, det._xyah
         )
         self.state = TrackState.Tracked
@@ -145,7 +156,7 @@ class STrack:
     def update(self, det, frame_id):
         self.frame_id = frame_id
         self.tracklet_len += 1
-        self.mean, self.covariance = self.shared_kalman.update(
+        self.mean, self.covariance = self.kf.update(
             self.mean, self.covariance, det._xyah
         )
         self.state = TrackState.Tracked
@@ -181,6 +192,27 @@ class BYTETracker:
         self.match_thresh = match_thresh
         self.fuse_scores = fuse_scores
         self.max_time_lost = int(frame_rate / 30.0 * track_buffer)
+        self.kf = STrack.shared_kalman  # BOTSORT swaps in the XYWH filter
+        self.fmt = "xyah"
+
+    def _make_track(self, b, s, c) -> STrack:
+        return STrack(b, s, c, kf=self.kf, fmt=self.fmt)
+
+    def _multi_predict(self, pool: List[STrack]):
+        """Batched Kalman predict over the pool (reference
+        STrack.multi_predict) instead of N python-loop 8x8 matmuls."""
+        if not pool:
+            return
+        means = np.stack([t.mean.copy() for t in pool])
+        covs = np.stack([t.covariance for t in pool])
+        for i, t in enumerate(pool):
+            if t.state != TrackState.Tracked:
+                means[i, 7] = 0
+                if self.fmt == "xywh":  # BoT-SORT also zeroes the w-velocity
+                    means[i, 6] = 0
+        means, covs = self.kf.multi_predict(means, covs)
+        for t, m, c in zip(pool, means, covs):
+            t.mean, t.covariance = m, c
 
     def update(self, boxes: np.ndarray, scores: np.ndarray, classes: np.ndarray):
         """boxes (N,4) xyxy, scores (N,), classes (N,) for one frame.
@@ -192,14 +224,14 @@ class BYTETracker:
 
         high = scores > self.track_high_thresh
         low = (scores > self.track_low_thresh) & ~high
-        dets_high = [STrack(b, s, c) for b, s, c in zip(boxes[high], scores[high], classes[high])]
-        dets_low = [STrack(b, s, c) for b, s, c in zip(boxes[low], scores[low], classes[low])]
+        mk = self._make_track
+        dets_high = [mk(b, s, c) for b, s, c in zip(boxes[high], scores[high], classes[high])]
+        dets_low = [mk(b, s, c) for b, s, c in zip(boxes[low], scores[low], classes[low])]
 
         unconfirmed = [t for t in self.tracked if not t.is_activated]
         tracked = [t for t in self.tracked if t.is_activated]
         pool = _join(tracked, self.lost)
-        for t in pool:
-            t.predict()
+        self._multi_predict(pool)
 
         # stage 1: high-score association
         dists = iou_distance(pool, dets_high)
@@ -263,6 +295,8 @@ class BYTETracker:
         self.lost.extend(lost)
         self.lost = _sub(self.lost, removed)
         self.removed.extend(removed)
+        if len(self.removed) > 1000:  # bounded like the reference (no leak
+            self.removed = self.removed[-999:]  # on long-running streams)
 
         out = [
             np.concatenate([t.xyxy, [t.track_id, t.score, t.cls]])

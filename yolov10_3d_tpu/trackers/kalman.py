@@ -100,6 +100,19 @@ class KalmanFilterXYAH:
 class KalmanFilterXYWH(KalmanFilterXYAH):
     """BoT-SORT variant: measurement [x, y, w, h]; noise scales with w AND h."""
 
+    def multi_predict(self, means, covariances):
+        """Vectorized predict with XYWH noise (the inherited XYAH version
+        would use the fixed aspect-slot stds)."""
+        w, h = means[:, 2], means[:, 3]
+        kp, kv = self._std_weight_position, self._std_weight_velocity
+        std = np.stack(
+            [kp * w, kp * h, kp * w, kp * h, kv * w, kv * h, kv * w, kv * h], -1
+        )
+        motion_cov = np.square(std)[:, :, None] * np.eye(8)[None]
+        means = means @ self._motion_mat.T
+        covariances = self._motion_mat @ covariances @ self._motion_mat.T + motion_cov
+        return means, covariances
+
     def _stds(self, mean, pos=True):
         w, h = mean[2], mean[3]
         k = self._std_weight_position if pos else self._std_weight_velocity

@@ -16,20 +16,23 @@ import jax
 import jax.numpy as jnp
 
 
-def _criterion(pred_emb, teacher_emb, kind: str, T: float):
-    """pred/teacher (N, C). Reference criteria (loss.py:1177-1186)."""
+def _masked_criterion(pred, teacher, mask_f, n, kind: str, T: float):
+    """Shared soft-KL / mse / cos over (..., C) embeddings with a float
+    validity mask (..., 1) and normalizer n (reference loss.py:1177-1186).
+    The ONE implementation both supervision losses use (they used to carry
+    drifting inline copies — review finding)."""
+    C = pred.shape[-1]
     if kind == "soft":
-        soft_t = jax.nn.softmax(teacher_emb / T, axis=-1)
-        log_p = jax.nn.log_softmax(pred_emb / T, axis=-1)
-        n = jnp.maximum(pred_emb.shape[0], 1)
-        return (soft_t * (jnp.log(soft_t + 1e-12) - log_p)).sum() / n * (T**2)
+        soft_t = jax.nn.softmax(teacher / T, axis=-1)
+        log_p = jax.nn.log_softmax(pred / T, axis=-1)
+        return ((soft_t * (jnp.log(soft_t + 1e-12) - log_p)) * mask_f).sum() / n * (T**2)
     if kind == "mse":
-        return ((pred_emb - teacher_emb) ** 2).mean()
+        return (((pred - teacher) ** 2) * mask_f).sum() / jnp.maximum(mask_f.sum() * C, 1)
     if kind == "cos":
-        p = pred_emb / (jnp.linalg.norm(pred_emb, axis=-1, keepdims=True) + 1e-12)
-        t = teacher_emb / (jnp.linalg.norm(teacher_emb, axis=-1, keepdims=True) + 1e-12)
-        return (1.0 - (p * t).sum(-1)).mean()
-    raise ValueError(kind)
+        pn = pred / (jnp.linalg.norm(pred, axis=-1, keepdims=True) + 1e-12)
+        tn = teacher / (jnp.linalg.norm(teacher, axis=-1, keepdims=True) + 1e-12)
+        return ((1.0 - (pn * tn).sum(-1)) * mask_f[..., 0]).sum() / n
+    raise ValueError(f"unknown distillation criterion {kind!r} (soft|mse|cos)")
 
 
 def supervision_head_loss(
@@ -66,20 +69,7 @@ def supervision_head_loss(
     vf = valid.astype(jnp.float32)[..., None]
     n = jnp.maximum(valid.sum(), 1)
 
-    if criterion == "soft":
-        soft_t = jax.nn.softmax(t_per_anchor / T, axis=-1)
-        log_p = jax.nn.log_softmax(pred_embeddings / T, axis=-1)
-        loss = ((soft_t * (jnp.log(soft_t + 1e-12) - log_p)) * vf).sum() / n * (T**2)
-    elif criterion == "mse":
-        loss = (((pred_embeddings - t_per_anchor) ** 2) * vf).sum() / jnp.maximum(
-            (vf.sum() * C), 1
-        )
-    elif criterion == "cos":
-        p = pred_embeddings / (jnp.linalg.norm(pred_embeddings, axis=-1, keepdims=True) + 1e-12)
-        t = t_per_anchor / (jnp.linalg.norm(t_per_anchor, axis=-1, keepdims=True) + 1e-12)
-        loss = ((1.0 - (p * t).sum(-1)) * valid).sum() / n
-    else:
-        raise ValueError(criterion)
+    loss = _masked_criterion(pred_embeddings, t_per_anchor, vf, n, criterion, T)
     return loss * weight
 
 
@@ -99,14 +89,5 @@ def supervision_fgdm_loss(
     d = jax.image.resize(gt_depth_maps[..., None], (B, Hf, Wf, 1), "bilinear")[..., 0]
     mask = (d > 0).astype(jnp.float32)[..., None]
     n = jnp.maximum((d > 0).sum(), 1)
-    if criterion == "soft":
-        soft_t = jax.nn.softmax(t / T, axis=-1)
-        log_p = jax.nn.log_softmax(fgdm_embeddings / T, axis=-1)
-        loss = ((soft_t * (jnp.log(soft_t + 1e-12) - log_p)) * mask).sum() / n * (T**2)
-    elif criterion == "mse":
-        loss = (((fgdm_embeddings - t) ** 2) * mask).sum() / jnp.maximum(mask.sum() * C, 1)
-    else:
-        p = fgdm_embeddings / (jnp.linalg.norm(fgdm_embeddings, axis=-1, keepdims=True) + 1e-12)
-        tn = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-12)
-        loss = ((1.0 - (p * tn).sum(-1)) * mask[..., 0]).sum() / n
+    loss = _masked_criterion(fgdm_embeddings, t, mask, n, criterion, T)
     return loss * weight
