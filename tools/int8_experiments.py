@@ -10,6 +10,15 @@ Compares, on representative YOLOv10-S layer shapes:
   c) Pallas fused int8 1x1 conv (matmul + epilogue in VMEM)
 
 Run on the real chip: python tools/int8_experiments.py
+
+TIMING CAVEAT (results recorded in PARITY.md "Round-2 continuation"):
+block_until_ready does not fence through the axon tunnel and XLA CSEs
+repeated identical calls — trustworthy numbers need chained calls with
+REAL data dependence (distinct per-layer weights) + scalar readback, as in
+bench.py. The definitive measurements used 16-layer chains: int8 wins only
+on k>=3 dense convs (1.28-1.81x); 1x1 convs lose (0.6-0.75x); the Pallas
+epilogue-fused matmul matches XLA int8 (no headroom). This script's simple
+timers are kept for shape exploration only.
 """
 
 import functools
