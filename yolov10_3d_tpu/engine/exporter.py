@@ -18,11 +18,15 @@ import numpy as np
 
 
 class Exporter:
-    def __init__(self, model, spec, variables, args=None):
+    def __init__(self, model, spec, variables, args=None, meta=None):
         self.model = model
         self.spec = spec
         self.variables = variables
         self.args = args
+        # model_yaml/names etc., embedded in ckpt exports so reloading
+        # rebuilds the RIGHT architecture (review finding: the default meta
+        # silently rebuilt yolov10n under any exported params)
+        self.extra_meta = dict(meta or {})
 
     def _forward(self, max_det: int):
         spec = self.spec
@@ -35,14 +39,26 @@ class Exporter:
                 preds = decode_detect3d(feats, spec.strides[:nl], spec.nc)
                 reg, scores, labels = v10_3d_postprocess(preds, max_det, spec.nc)
                 return reg, jax.nn.sigmoid(scores), labels
+        elif spec.head_module == "Classify":
+            def fwd(variables, x):
+                return (jax.nn.softmax(self.model.apply(variables, x, train=False), -1),)
         else:
-            from ..ops.postprocess import v10_detections
+            from ..ops.postprocess import v8_detections, v10_detections
 
             def fwd(variables, x):
-                det = v10_detections(
-                    self.model.apply(variables, x, train=False)["one2one"],
-                    spec.strides, spec.nc, max_det=max_det,
-                )
+                out = self.model.apply(variables, x, train=False)
+                # head dispatch (review finding: non-v10 heads crashed on
+                # ["one2one"]): v10 dict -> NMS-free; Detect list ->
+                # v8 NMS; Segment/Pose/OBB dicts export the det epilogue
+                if isinstance(out, dict) and "one2one" in out:
+                    det = v10_detections(
+                        out["one2one"], spec.strides, spec.nc, max_det=max_det
+                    )
+                else:
+                    feats = out["det"] if isinstance(out, dict) else out
+                    det = v8_detections(
+                        feats, spec.strides, spec.nc, conf=0.001, max_det=max_det
+                    )
                 return det["boxes"], det["scores"], det["labels"]
 
         return fwd
@@ -87,7 +103,8 @@ class Exporter:
                 path,
                 params=jax.device_get(self.variables["params"]),
                 batch_stats=jax.device_get(self.variables.get("batch_stats", {})),
-                meta={"nc": self.spec.nc, "strides": list(self.spec.strides)},
+                meta={"nc": self.spec.nc, "strides": list(self.spec.strides),
+                      **self.extra_meta},
             )
             return path
 

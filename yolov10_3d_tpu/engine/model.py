@@ -337,9 +337,11 @@ class Model:
         imgsz = kwargs.pop("imgsz", 640)
         out = kwargs.pop("out", None)
         batch = kwargs.pop("batch", 1)
-        return Exporter(self.model, self.spec, self.variables, self._cfg(kwargs))(
-            fmt=fmt, imgsz=imgsz, out=out, batch=batch
-        )
+        return Exporter(
+            self.model, self.spec, self.variables, self._cfg(kwargs),
+            meta={"model_yaml": str(getattr(self, "model_cfg", "")),
+                  "names": {int(k): v for k, v in self.names.items()}},
+        )(fmt=fmt, imgsz=imgsz, out=out, batch=batch)
 
     def info(self):
         n_params = sum(v.size for v in jax.tree.leaves(self.variables["params"]))

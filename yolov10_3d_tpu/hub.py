@@ -52,7 +52,12 @@ class LocalHub:
         """Store a checkpoint under the model id (reference session
         upload_model)."""
         d = self._model_dir(model_id)
-        name = "best.ckpt" if is_best else ("final.ckpt" if final else f"epoch{epoch}.ckpt")
+        name = (
+            "best.ckpt" if is_best
+            else "final.ckpt" if final
+            else f"epoch{epoch}.ckpt" if epoch is not None
+            else "latest.ckpt"  # default upload (was 'epochNone.ckpt')
+        )
         dst = d / name
         shutil.copy2(weights, dst)
         meta = {"uploaded": time.time(), "epoch": epoch, "best": is_best, "final": final}

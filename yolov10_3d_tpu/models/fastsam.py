@@ -16,9 +16,11 @@ import numpy as np
 
 
 class FastSAMPrompt:
-    def __init__(self, masks: np.ndarray, boxes: Optional[np.ndarray] = None):
+    def __init__(self, masks: np.ndarray, boxes: Optional[np.ndarray] = None,
+                 image: Optional[np.ndarray] = None):
         """masks: (N, H, W) binary instance masks ('everything' results);
         boxes: optional (N, 4) xyxy of the same instances."""
+        self.image = image  # source pixels for CLIP text prompts
         self.masks = np.asarray(masks).astype(bool)
         self.boxes = boxes
 
@@ -49,8 +51,11 @@ class FastSAMPrompt:
     def point_prompt(self, points: Sequence[Sequence[float]], pointlabel: Sequence[int]) -> np.ndarray:
         """Merge masks hit by positive points, minus negative points
         (prompt.py:319). Returns the combined (H, W) mask."""
-        if self.masks.size == 0:
-            return np.zeros((0, 0), bool)
+        if len(self.masks) == 0:
+            # keep the spatial dims from the (0, H, W) array (a (0,0) return
+            # crashed downstream overlay/resize — review finding)
+            h, w = self.masks.shape[1:] if self.masks.ndim == 3 else (0, 0)
+            return np.zeros((h, w), bool)
         h, w = self.masks.shape[1:]
         onemask = np.zeros((h, w), bool)
         # smaller masks take precedence (reference sorts by area descending and
@@ -69,7 +74,13 @@ class FastSAMPrompt:
 
     def text_prompt(self, text: str, retrieve_fn: Optional[Callable] = None) -> np.ndarray:
         """CLIP-scored mask selection (prompt.py:334). retrieve_fn(crops,
-        text) -> scores; required because no CLIP weights ship offline."""
+        text) -> scores; required because no CLIP weights ship offline.
+
+        crops are IMAGE pixels masked+cropped to each instance when the
+        prompt was built with the source image (like the reference, which
+        crops the image for CLIP — a binary mask gives a scorer nothing to
+        score; review finding); binary mask crops are the documented
+        fallback when no image was provided."""
         if retrieve_fn is None:
             raise RuntimeError(
                 "text_prompt needs a retrieve_fn(crops, text) -> scores "
@@ -78,7 +89,12 @@ class FastSAMPrompt:
         crops = []
         for mask in self.masks:
             x1, y1, x2, y2 = (int(v) for v in self._bbox_from_mask(mask))
-            crops.append((mask[y1:y2, x1:x2], (x1, y1, x2, y2)))
+            if self.image is not None:
+                patch = self.image[y1:y2, x1:x2].copy()
+                patch[~mask[y1:y2, x1:x2]] = 0
+                crops.append((patch, (x1, y1, x2, y2)))
+            else:
+                crops.append((mask[y1:y2, x1:x2], (x1, y1, x2, y2)))
         scores = np.asarray(retrieve_fn(crops, text))
         return np.array([int(np.argmax(scores))])
 

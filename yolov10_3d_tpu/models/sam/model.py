@@ -40,7 +40,11 @@ class SAM:
         if path.endswith(".ckpt"):
             from ...utils.checkpoint import load_checkpoint
 
-            self.variables = load_checkpoint(path)["variables"]
+            ckpt = load_checkpoint(path)  # params/batch_stats layout — there
+            params = ckpt.get("ema_params") or ckpt["params"]  # is no
+            self.variables = {"params": params}  # "variables" key (review)
+            if ckpt.get("batch_stats"):
+                self.variables["batch_stats"] = ckpt["batch_stats"]
             return
         import torch
 

@@ -17,10 +17,15 @@ class YOLOWorld:
     def __init__(self, cfg: str = "yolov8-worldv2", scale: str = "s", nc: int = 80):
         from ..nn.build import build_model
 
+        from pathlib import Path
+
+        from ..cfg import CFG_DIR
+
+        # package-relative resolution (a CWD-relative literal broke any
+        # working directory but the repo root — review finding)
         path = (
-            cfg
-            if cfg.endswith(".yaml")
-            else f"yolov10_3d_tpu/cfg/models/v8/{cfg}.yaml"
+            cfg if cfg.endswith(".yaml") and Path(cfg).exists()
+            else str(CFG_DIR / "models" / "v8" / f"{Path(cfg).stem}.yaml")
         )
         self.model, self.spec = build_model(path, scale=scale, nc=nc)
         self.names: List[str] = [str(i) for i in range(nc)]
@@ -31,6 +36,11 @@ class YOLOWorld:
                 jax.random.PRNGKey(0), x0, train=False, txt_feats=self.txt_feats
             )
         )()
+        # ONE jitted forward reused across predict() calls (a fresh
+        # jax.jit(lambda) per call missed the compile cache every frame)
+        self._fwd = jax.jit(
+            lambda v, x, t: self.model.apply(v, x, train=False, txt_feats=t)
+        )
 
     def set_text_features(self, feats: np.ndarray, names: Optional[Sequence[str]] = None):
         """Directly install (K, 512) L2-normalized text features."""
@@ -54,8 +64,6 @@ class YOLOWorld:
             img = img / 255.0
         x = jnp.asarray(img[None])
         K = self.txt_feats.shape[1]
-        maps = jax.jit(
-            lambda v, x, t: self.model.apply(v, x, train=False, txt_feats=t)
-        )(self.variables, x, self.txt_feats)
+        maps = self._fwd(self.variables, x, self.txt_feats)
         det = v8_detections(maps, self.spec.strides, K, max_det=max_det, conf=conf)
         return {k: np.asarray(v)[0] for k, v in det.items()}

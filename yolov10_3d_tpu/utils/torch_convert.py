@@ -45,10 +45,17 @@ def convert_torch_state_dict(
     torch state_dict (values as numpy arrays). Returns a new tree.
 
     strict=True raises if a flax leaf has no torch counterpart or shapes
-    mismatch (DFL-style frozen buffers on the torch side are ignored).
+    mismatch (DFL-style frozen buffers on the torch side are ignored);
+    strict=False keeps the flax leaf for ANY missing module, missing leaf,
+    or shape mismatch (lenient partial load — review finding: the flag
+    previously only tolerated missing modules) and logs unconsumed torch
+    keys at the end.
     """
     idx = index_torch_state_dict(sd)
     used = set()
+
+    class _Lenient(Exception):
+        pass
 
     def fill(tree, path, collection):
         if not isinstance(tree, Mapping):
@@ -59,6 +66,16 @@ def convert_torch_state_dict(
                 if strict:
                     raise KeyError(f"no torch module for flax path {'/'.join(path)}")
                 return tree
+            if not strict:
+                try:
+                    return _fill_leaf(tree, prefix, leaf, mod, collection)
+                except (KeyError, ValueError):
+                    return tree  # lenient: keep the flax init for this leaf
+            return _fill_leaf(tree, prefix, leaf, mod, collection)
+        return {k: fill(v, path + (k,), collection) for k, v in tree.items()}
+
+    def _fill_leaf(tree, prefix, leaf, mod, collection):
+        if True:
             if collection == "params":
                 if leaf in ("in_proj_weight", "in_proj_bias"):
                     # torch nn.MultiheadAttention fused projections are stored
@@ -99,11 +116,21 @@ def convert_torch_state_dict(
                     f"shape mismatch at {prefix}.{leaf}: torch {w.shape} vs flax {tree.shape}"
                 )
             return jax.numpy.asarray(w, dtype=tree.dtype)
-        return {k: fill(v, path + (k,), collection) for k, v in tree.items()}
 
     out = {}
     for coll, tree in variables.items():
         out[coll] = fill(tree, (), coll)
+    # the used-set exists to REPORT unconsumed torch keys (it was dead —
+    # review finding): typo'd prefixes / extra buffers surface instead of
+    # silently vanishing
+    leftover = {k for k in sd if "num_batches_tracked" not in k} - used
+    if leftover:
+        from . import LOGGER
+
+        LOGGER.warning(
+            f"{len(leftover)} torch keys not consumed by the conversion "
+            f"(first few): {sorted(leftover)[:5]}"
+        )
     return out
 
 
