@@ -12,14 +12,29 @@ import numpy as np
 
 
 def compute_ap(recall: np.ndarray, precision: np.ndarray):
-    """101-point interpolated AP (reference metrics.py:499 ``compute_ap``)."""
-    mrec = np.concatenate(([0.0], recall, [1.0]))
-    mpre = np.concatenate(([1.0], precision, [0.0]))
-    mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
-    x = np.linspace(0, 1, 101)
+    """101-point interpolated AP over the monotone precision envelope
+    (the COCO-style protocol the reference follows, metrics.py:499)."""
+    # close the curve at recall 0 (precision 1) and recall 1 (precision 0),
+    # then take the running max from the right: the precision envelope
+    r_closed = np.concatenate(([0.0], recall, [1.0]))
+    envelope = np.concatenate(([1.0], precision, [0.0]))[::-1]
+    envelope = np.maximum.accumulate(envelope)[::-1]
+    grid = np.linspace(0, 1, 101)
     trapezoid = getattr(np, "trapezoid", np.trapz)
-    ap = trapezoid(np.interp(x, mrec, mpre), x)
-    return ap, mpre, mrec
+    ap = trapezoid(np.interp(grid, r_closed, envelope), grid)
+    return ap, envelope, r_closed
+
+
+# shared confidence grid all per-class curves are resampled onto (the
+# protocol fixes 1000 points; the max-F1 operating point is picked on it)
+_CONF_GRID = np.linspace(0, 1, 1000)
+
+
+def _resample_by_conf(conf_desc: np.ndarray, values: np.ndarray, fill: float):
+    """Linearly resample a curve parameterised by DESCENDING confidence onto
+    _CONF_GRID. np.interp wants ascending abscissae, so interpolate on the
+    negated axis; ``fill`` extends the curve above the highest confidence."""
+    return np.interp(-_CONF_GRID, -conf_desc, values, left=fill)
 
 
 def ap_per_class(
@@ -29,41 +44,46 @@ def ap_per_class(
     target_cls: np.ndarray,  # (M,)
     eps: float = 1e-16,
 ):
-    """Per-class P/R/AP curves (reference metrics.py:532 ``ap_per_class``).
-    Returns dict with tp, fp, p, r, f1, ap (nc, T), unique_classes."""
-    order = np.argsort(-conf)
-    tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
-    unique_classes, nt = np.unique(target_cls, return_counts=True)
-    nc = unique_classes.shape[0]
+    """Per-class P/R/AP curves (protocol of reference metrics.py:532).
+    Returns dict with tp, fp, p, r, f1, ap (nc, T), unique_classes.
 
-    x = np.linspace(0, 1, 1000)
-    ap = np.zeros((nc, tp.shape[1]))
-    p_curve = np.zeros((nc, 1000))
-    r_curve = np.zeros((nc, 1000))
-    for ci, c in enumerate(unique_classes):
-        i = pred_cls == c
-        n_l = nt[ci]
-        n_p = int(i.sum())
-        if n_p == 0 or n_l == 0:
+    Own-idiom restructure (round-3): detections are bucketed per class once,
+    precision is cum_hits / rank (identical to tp/(tp+fp) for boolean hits),
+    and grid resampling lives in ``_resample_by_conf``.
+    """
+    desc = np.argsort(conf)[::-1]  # stable protocol order: confidence desc
+    tp, conf, pred_cls = tp[desc], conf[desc], pred_cls[desc]
+    classes, gt_counts = np.unique(target_cls, return_counts=True)
+    n_cls, n_thr = classes.shape[0], tp.shape[1]
+
+    ap = np.zeros((n_cls, n_thr))
+    p_curve = np.zeros((n_cls, _CONF_GRID.size))
+    r_curve = np.zeros((n_cls, _CONF_GRID.size))
+    for row, (cls_id, n_gt) in enumerate(zip(classes, gt_counts)):
+        sel = pred_cls == cls_id
+        if n_gt == 0 or not sel.any():
             continue
-        fpc = (1 - tp[i]).cumsum(0)
-        tpc = tp[i].cumsum(0)
-        recall = tpc / (n_l + eps)
-        r_curve[ci] = np.interp(-x, -conf[i], recall[:, 0], left=0)
-        precision = tpc / (tpc + fpc)
-        p_curve[ci] = np.interp(-x, -conf[i], precision[:, 0], left=1)
-        for j in range(tp.shape[1]):
-            ap[ci, j], _, _ = compute_ap(recall[:, j], precision[:, j])
+        hits = tp[sel].astype(np.float64)         # (n_det, T), conf-descending
+        cum_hits = np.cumsum(hits, axis=0)
+        rank = np.arange(1, hits.shape[0] + 1)[:, None]
+        recall = cum_hits / (n_gt + eps)
+        precision = cum_hits / rank               # == tp / (tp + fp)
+        # curves on the shared grid use the first IoU threshold (0.5)
+        r_curve[row] = _resample_by_conf(conf[sel], recall[:, 0], fill=0.0)
+        p_curve[row] = _resample_by_conf(conf[sel], precision[:, 0], fill=1.0)
+        for t in range(n_thr):
+            ap[row, t] = compute_ap(recall[:, t], precision[:, t])[0]
 
     f1_curve = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
     i = smooth(f1_curve.mean(0), 0.1).argmax()  # max-F1 confidence index
     p, r, f1 = p_curve[:, i], r_curve[:, i], f1_curve[:, i]
-    tp_c = (r * nt).round()
+    tp_c = (r * gt_counts).round()
     fp_c = (tp_c / (p + eps) - tp_c).round()
     return {
         "tp": tp_c, "fp": fp_c, "p": p, "r": r, "f1": f1, "ap": ap,
-        "unique_classes": unique_classes.astype(int), "nt": nt,
-        "p_curve": p_curve, "r_curve": r_curve, "f1_curve": f1_curve, "x": x,
+        "unique_classes": classes.astype(int), "nt": gt_counts,
+        "p_curve": p_curve, "r_curve": r_curve, "f1_curve": f1_curve,
+        "x": _CONF_GRID,
     }
 
 
