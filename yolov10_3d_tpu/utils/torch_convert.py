@@ -123,7 +123,11 @@ def convert_torch_state_dict(
     # the used-set exists to REPORT unconsumed torch keys (it was dead —
     # review finding): typo'd prefixes / extra buffers surface instead of
     # silently vanishing
-    leftover = {k for k in sd if "num_batches_tracked" not in k} - used
+    # compare in the normalized (prefix.leaf) key space `used` records in
+    leftover = {
+        k for k in sd
+        if "num_batches_tracked" not in k and ".".join(_normalize(k)) not in used
+    }
     if leftover:
         from . import LOGGER
 
