@@ -125,7 +125,7 @@ def test_mosaic9(yolo_tree):
     ds = YOLODataset(yolo_tree / "images", imgsz=96)
     rng = np.random.default_rng(0)
     items = [ds._raw(i % 8) for i in range(9)]
-    img, labels = mosaic9(items, (96, 96), rng)
+    img, labels, _ = mosaic9(items, (96, 96), rng)
     assert img.shape == (192, 192, 3)
     assert len(labels) > 0
     assert (labels[:, 1:] >= 0).all() and (labels[:, 1:] <= 192).all()

@@ -4,7 +4,14 @@ RandomPerspective:347, RandomHSV:584, RandomFlip:627, v8_transforms:973).
 Host-side numpy/cv2 (the reference is cv2 too); labels are (n, 5) =
 [cls, x1, y1, x2, y2] in absolute pixels throughout, converted to normalized
 xywh only at batch-format time.
-"""
+
+Per-instance geometry beyond boxes rides a single ``points`` array of shape
+(n, P, D) aligned row-for-row with ``labels``: resampled segment polygons
+(P=K, D=2), pose keypoints (P=nk, D=2|3 with visibility last), or OBB corner
+quads (P=4, D=2). ``kind`` ∈ {"segments", "keypoints", "corners"} selects the
+task-specific semantics (segment-derived boxes after warp, keypoint
+visibility masking, corner refits) the reference implements per-Instances
+(augment.py:347 apply_segments/apply_keypoints)."""
 
 from __future__ import annotations
 
@@ -42,17 +49,62 @@ def random_hsv(img: np.ndarray, rng: np.random.Generator, hgain=0.015, sgain=0.7
     return img
 
 
-def random_flip_lr(img, labels, rng, p=0.5):
-    """Horizontal flip (reference augment.py:627)."""
+def _unpack_item(item):
+    """Accept (img, labels) or (img, labels, points) sample tuples."""
+    img, labels, *rest = item
+    return img, labels, (rest[0] if rest else None)
+
+
+def resample_polygon(pts: np.ndarray, k: int) -> np.ndarray:
+    """Resample a closed polygon (n, 2) to exactly k points, uniformly by
+    arclength (fixed-size representation so instance geometry batches as a
+    dense (n, K, 2) array; the reference resamples by index —
+    data/utils.py resample_segments — arclength spacing preserves shape
+    better at small K)."""
+    closed = np.concatenate([pts, pts[:1]], 0).astype(np.float64)
+    seg = np.linalg.norm(np.diff(closed, axis=0), axis=1)
+    t = np.concatenate([[0.0], np.cumsum(seg)])
+    total = t[-1]
+    if total <= 0:
+        return np.repeat(pts[:1], k, 0).astype(np.float32)
+    u = np.linspace(0, total, k, endpoint=False)
+    return np.stack(
+        [np.interp(u, t, closed[:, 0]), np.interp(u, t, closed[:, 1])], -1
+    ).astype(np.float32)
+
+
+def random_flip_lr(img, labels, rng, p=0.5, points=None, kind=None, flip_idx=None):
+    """Horizontal flip (reference augment.py:627). For keypoints, ``flip_idx``
+    swaps chiral pairs (left eye <-> right eye) like the reference RandomFlip."""
     if rng.random() < p:
         img = np.ascontiguousarray(img[:, ::-1])
+        w = img.shape[1]
         if len(labels):
-            w = img.shape[1]
             x1 = labels[:, 1].copy()
             labels[:, 1] = w - labels[:, 3]
             labels[:, 3] = w - x1
-        return img, labels, True
-    return img, labels, False
+        if points is not None and len(points):
+            points = points.copy()
+            points[..., 0] = w - points[..., 0]
+            if kind == "keypoints" and flip_idx is not None:
+                points = points[:, np.asarray(flip_idx, int)]
+        return img, labels, points, True
+    return img, labels, points, False
+
+
+def random_flip_ud(img, labels, rng, p=0.0, points=None):
+    """Vertical flip (reference v8_transforms RandomFlip('vertical'))."""
+    if p and rng.random() < p:
+        img = np.ascontiguousarray(img[::-1])
+        h = img.shape[0]
+        if len(labels):
+            y1 = labels[:, 2].copy()
+            labels[:, 2] = h - labels[:, 4]
+            labels[:, 4] = h - y1
+        if points is not None and len(points):
+            points = points.copy()
+            points[..., 1] = h - points[..., 1]
+    return img, labels, points
 
 
 def mosaic4(
@@ -66,8 +118,10 @@ def mosaic4(
     yc = int(rng.uniform(sh // 2, 2 * sh - sh // 2))
     xc = int(rng.uniform(sw // 2, 2 * sw - sw // 2))
     canvas = np.full((sh * 2, sw * 2, 3), 114, np.uint8)
-    out_labels = []
-    for i, (img, labels) in enumerate(items):
+    out_labels, out_points, has_points = [], [], False
+    for i, item in enumerate(items):
+        img, labels, points = _unpack_item(item)
+        has_points = has_points or points is not None
         h, w = img.shape[:2]
         if i == 0:  # top-left
             x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
@@ -87,9 +141,17 @@ def mosaic4(
             lab[:, [1, 3]] += x1a - x1b
             lab[:, [2, 4]] += y1a - y1b
             out_labels.append(lab)
+            if points is not None:
+                pts = points.copy()
+                pts[..., 0] += x1a - x1b
+                pts[..., 1] += y1a - y1b
+                out_points.append(pts)
     labels = np.concatenate(out_labels) if out_labels else np.zeros((0, 5), np.float32)
     labels[:, 1:] = labels[:, 1:].clip(0, [sw * 2, sh * 2, sw * 2, sh * 2])
-    return canvas, labels
+    points = np.concatenate(out_points) if out_points else None
+    if has_points and points is None:
+        points = np.zeros((0, 1, 2), np.float32)
+    return canvas, labels, points
 
 
 def mosaic9(
@@ -104,8 +166,10 @@ def mosaic9(
     sh, sw = imgsz
     canvas = np.full((sh * 3, sw * 3, 3), 114, np.uint8)
     hp = wp = -1  # previous h/w
-    out_labels = []
-    for i, (img, labels) in enumerate(items):
+    out_labels, out_points, has_points = [], [], False
+    for i, item in enumerate(items):
+        img, labels, points = _unpack_item(item)
+        has_points = has_points or points is not None
         # cap the long side at s like the reference's load_image rect resize
         h, w = img.shape[:2]
         r = min(sh / h, sw / w)
@@ -114,6 +178,9 @@ def mosaic9(
             if len(labels):
                 labels = labels.copy()
                 labels[:, 1:5] *= r
+                if points is not None:
+                    points = points.copy()
+                    points[..., :2] *= r
             h, w = img.shape[:2]
         if i == 0:  # center
             c = sw, sh, sw + w, sh + h
@@ -144,34 +211,49 @@ def mosaic9(
             lab[:, [1, 3]] += pad_x
             lab[:, [2, 4]] += pad_y
             out_labels.append(lab)
+            if points is not None:
+                pts = points.copy()
+                pts[..., 0] += pad_x
+                pts[..., 1] += pad_y
+                out_points.append(pts)
         hp, wp = h, w
     # crop a (2h, 2w) window starting at a random offset in [0, s)
     yc = int(rng.uniform(0, sh))
     xc = int(rng.uniform(0, sw))
     canvas = canvas[yc : yc + 2 * sh, xc : xc + 2 * sw]
     labels = np.concatenate(out_labels) if out_labels else np.zeros((0, 5), np.float32)
+    points = np.concatenate(out_points) if out_points else None
+    if has_points and points is None:
+        points = np.zeros((0, 1, 2), np.float32)
     if len(labels):
         labels[:, [1, 3]] -= xc
         labels[:, [2, 4]] -= yc
         labels[:, 1:] = labels[:, 1:].clip(0, [sw * 2, sh * 2, sw * 2, sh * 2])
         wh = labels[:, 3:5] - labels[:, 1:3]
-        labels = labels[(wh > 2).all(1)]
-    return canvas, labels
+        keep = (wh > 2).all(1)
+        labels = labels[keep]
+        if points is not None:
+            points = points.copy()
+            points[..., 0] -= xc
+            points[..., 1] -= yc
+            points = points[keep]
+    return canvas, labels, points
 
 
 def copy_paste(
     img: np.ndarray,
     labels: np.ndarray,
-    segments: List[np.ndarray],
+    segments,
     rng: np.random.Generator,
     p: float = 0.5,
-) -> Tuple[np.ndarray, np.ndarray, List[np.ndarray]]:
+):
     """Instance copy-paste via horizontal mirror (reference augment.py:753
     ``CopyPaste``): flip selected instance masks left-right and paste them if
     the mirrored box doesn't occlude existing instances (IoA < 0.30).
-    segments: per-instance polygons (n_i, 2) px matching ``labels`` rows."""
+    segments: per-instance polygons — (n, K, 2) array or list of (k_i, 2) —
+    matching ``labels`` rows."""
     n = len(labels)
-    if p == 0.0 or n == 0 or not segments:
+    if p == 0.0 or n == 0 or segments is None or len(segments) == 0:
         return img, labels, segments
     h, w = img.shape[:2]
     im_new = np.zeros(img.shape[:2], np.uint8)
@@ -205,7 +287,11 @@ def copy_paste(
     img = img.copy()
     img[i] = result[i]
     labels = np.concatenate([labels, np.stack(new_rows)], 0)
-    return img, labels, segments + new_segs
+    if isinstance(segments, np.ndarray):
+        segments = np.concatenate([segments, np.stack(new_segs)], 0)
+    else:
+        segments = segments + new_segs
+    return img, labels, segments
 
 
 def random_perspective(
@@ -219,11 +305,23 @@ def random_perspective(
     shear=0.0,
     perspective=0.0,
     border: Tuple[int, int] = (0, 0),
-) -> Tuple[np.ndarray, np.ndarray]:
+    points: Optional[np.ndarray] = None,
+    kind: Optional[str] = None,
+):
     """Affine/perspective warp + box transform + candidate filter
-    (reference augment.py:347 ``RandomPerspective``). imgsz (h, w)."""
-    h = imgsz[0] + border[0] * 2
-    w = imgsz[1] + border[1] * 2
+    (reference augment.py:347 ``RandomPerspective``). imgsz (h, w).
+
+    With ``points`` (n, P, D): point xy transform through the same M;
+    kind="segments"/"corners" re-derive boxes from the warped point sets
+    (clipped polygons for segments, corner extents for OBB — reference
+    apply_segments), kind="keypoints" keeps box-corner boxes and zeroes the
+    visibility of points warped out of frame (reference apply_keypoints)."""
+    # output size comes from the INPUT canvas + border (the mosaic canvas is
+    # 2s with border=-s/2 -> output s); round-3 fix: this used imgsz, which
+    # left the host-mosaic path emitting 2s images (imgsz + 2*(-s/2) == 0 and
+    # cv2 treats dsize=(0,0) as "keep source size")
+    h = img.shape[0] + border[0] * 2
+    w = img.shape[1] + border[1] * 2
 
     C = np.eye(3)
     C[0, 2] = -img.shape[1] / 2
@@ -251,18 +349,52 @@ def random_perspective(
 
     n = len(labels)
     if n:
-        xy = np.ones((n * 4, 3))
         boxes = labels[:, 1:5]
-        xy[:, :2] = boxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)
-        xy = xy @ M.T
-        xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
-        x = xy[:, [0, 2, 4, 6]]
-        y = xy[:, [1, 3, 5, 7]]
-        new = np.concatenate(
-            (x.min(1), y.min(1), x.max(1), y.max(1))
-        ).reshape(4, n).T
-        new[:, [0, 2]] = new[:, [0, 2]].clip(0, w)
-        new[:, [1, 3]] = new[:, [1, 3]].clip(0, h)
+        if points is not None and len(points):
+            # warp the instance point sets through the same homography
+            pxy = np.ones((*points.shape[:2], 3))
+            pxy[..., :2] = points[..., :2]
+            pxy = pxy @ M.T
+            pxy = pxy[..., :2] / pxy[..., 2:3] if perspective else pxy[..., :2]
+            points = points.copy()
+            points[..., :2] = pxy.astype(np.float32)
+        if kind == "segments" and points is not None and len(points):
+            # boxes from the clipped warped polygons (apply_segments)
+            points[..., 0] = points[..., 0].clip(0, w)
+            points[..., 1] = points[..., 1].clip(0, h)
+            new = np.concatenate(
+                [points[..., :2].min(1), points[..., :2].max(1)], -1
+            ).astype(np.float32)
+            area_thr = 0.01
+        elif kind == "corners" and points is not None and len(points):
+            # boxes from the warped corner extents (unclipped corners keep
+            # the rotated-rect geometry; clip only the derived aabb)
+            new = np.concatenate(
+                [points[..., :2].min(1), points[..., :2].max(1)], -1
+            ).astype(np.float32)
+            new[:, [0, 2]] = new[:, [0, 2]].clip(0, w)
+            new[:, [1, 3]] = new[:, [1, 3]].clip(0, h)
+            area_thr = 0.01
+        else:
+            xy = np.ones((n * 4, 3))
+            xy[:, :2] = boxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)
+            xy = xy @ M.T
+            xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
+            x = xy[:, [0, 2, 4, 6]]
+            y = xy[:, [1, 3, 5, 7]]
+            new = np.concatenate(
+                (x.min(1), y.min(1), x.max(1), y.max(1))
+            ).reshape(4, n).T
+            new[:, [0, 2]] = new[:, [0, 2]].clip(0, w)
+            new[:, [1, 3]] = new[:, [1, 3]].clip(0, h)
+            area_thr = 0.1
+        if kind == "keypoints" and points is not None and len(points) and points.shape[-1] >= 3:
+            # out-of-frame keypoints become invisible (apply_keypoints)
+            oob = (
+                (points[..., 0] < 0) | (points[..., 0] > w)
+                | (points[..., 1] < 0) | (points[..., 1] > h)
+            )
+            points[..., 2] = np.where(oob, 0.0, points[..., 2])
         # candidate filter (augment.py:558 ``box_candidates``)
         w1 = boxes[:, 2] - boxes[:, 0]
         h1 = boxes[:, 3] - boxes[:, 1]
@@ -272,19 +404,27 @@ def random_perspective(
         keep = (
             (w2 > 2)
             & (h2 > 2)
-            & (w2 * h2 / (w1 * h1 * s**2 + 1e-16) > 0.1)
+            & (w2 * h2 / (w1 * h1 * s**2 + 1e-16) > area_thr)
             & (ar < 100)
         )
         labels = labels[keep]
         labels[:, 1:5] = new[keep]
-    return img, labels
+        if points is not None and len(points):
+            points = points[keep]
+    return img, labels, points
 
 
-def mixup(img1, labels1, img2, labels2, rng):
+def mixup(img1, labels1, img2, labels2, rng, points1=None, points2=None):
     """Beta(32,32) image blend (reference augment.py:326 ``MixUp``)."""
     r = rng.beta(32.0, 32.0)
     img = (img1.astype(np.float32) * r + img2.astype(np.float32) * (1 - r)).astype(np.uint8)
-    return img, np.concatenate([labels1, labels2], 0)
+    labels = np.concatenate([labels1, labels2], 0)
+    points = (
+        np.concatenate([points1, points2], 0)
+        if points1 is not None and points2 is not None
+        else points1
+    )
+    return img, labels, points
 
 
 def train_augment(
@@ -294,57 +434,70 @@ def train_augment(
     rng: np.random.Generator,
     imgsz: Tuple[int, int],
     hyp: Dict[str, float],
-) -> Tuple[np.ndarray, np.ndarray]:
+    kind: Optional[str] = None,
+    flip_idx=None,
+):
     """The v8 train pipeline (reference augment.py:973 ``v8_transforms``):
-    mosaic(p) -> random_perspective(border=-s/2) -> [mixup(p)] -> hsv -> flip.
-    ``get_item(i) -> (img, labels cls+xyxy px)`` loads raw samples."""
+    mosaic(p) -> random_perspective(border=-s/2) -> [mixup(p)] -> copy_paste
+    -> hsv -> flip. ``get_item(i) -> (img, labels cls+xyxy px[, points])``
+    loads raw samples; returns (img, labels, points) with points=None for
+    plain detect. ``kind``/``flip_idx`` select the per-task point semantics
+    (module docstring)."""
     sh, sw = imgsz
+
+    def _warp(img, labels, points, border):
+        return random_perspective(
+            img, labels, rng, imgsz,
+            degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.1),
+            scale=hyp.get("scale", 0.4), shear=hyp.get("shear", 0.0),
+            perspective=hyp.get("perspective", 0.0), border=border,
+            points=points, kind=kind,
+        )
+
     use_mosaic = rng.random() < hyp.get("mosaic", 1.0)
     if use_mosaic:
         if rng.random() < hyp.get("mosaic9", 0.0):
             idxs = [index] + [int(rng.integers(0, n_items)) for _ in range(8)]
-            img, labels = mosaic9([get_item(i) for i in idxs], imgsz, rng)
+            img, labels, points = mosaic9([get_item(i) for i in idxs], imgsz, rng)
         else:
             idxs = [index] + [int(rng.integers(0, n_items)) for _ in range(3)]
-            img, labels = mosaic4([get_item(i) for i in idxs], imgsz, rng)
+            img, labels, points = mosaic4([get_item(i) for i in idxs], imgsz, rng)
         border = (-sh // 2, -sw // 2)
     else:
-        img, labels = get_item(index)
+        img, labels, points = _unpack_item(get_item(index))
         img, ratio, (dw, dh) = letterbox(img, (sh, sw))
         if len(labels):
             labels[:, [1, 3]] = labels[:, [1, 3]] * ratio + dw
             labels[:, [2, 4]] = labels[:, [2, 4]] * ratio + dh
+            if points is not None:
+                points = points.copy()
+                points[..., 0] = points[..., 0] * ratio + dw
+                points[..., 1] = points[..., 1] * ratio + dh
         border = (0, 0)
-    img, labels = random_perspective(
-        img, labels, rng, imgsz,
-        degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.1),
-        scale=hyp.get("scale", 0.4), shear=hyp.get("shear", 0.0),
-        perspective=hyp.get("perspective", 0.0), border=border,
-    )
+    img, labels, points = _warp(img, labels, points, border)
     if use_mosaic and rng.random() < hyp.get("mixup", 0.0):
-        idx2 = int(rng.integers(0, n_items))
-        img2, labels2 = mosaic4(
+        img2, labels2, points2 = mosaic4(
             [get_item(int(rng.integers(0, n_items))) for _ in range(4)], imgsz, rng
         )
-        img2, labels2 = random_perspective(
-            img2, labels2, rng, imgsz,
-            degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.1),
-            scale=hyp.get("scale", 0.4), shear=hyp.get("shear", 0.0),
-            perspective=hyp.get("perspective", 0.0), border=(-sh // 2, -sw // 2),
-        )
-        img, labels = mixup(img, labels, img2, labels2, rng)
+        img2, labels2, points2 = _warp(img2, labels2, points2, (-sh // 2, -sw // 2))
+        img, labels, points = mixup(img, labels, img2, labels2, rng, points, points2)
     # copy-paste sits here in the reference pipeline (v8_transforms,
     # augment.py:973) and, exactly like the reference CopyPaste
-    # (`if p and len(segments)`), no-ops on detect-format labels: per-
-    # instance segment polygons don't survive the mosaic path. Segment-
-    # carrying pipelines call copy_paste() directly.
-    img, labels, _ = copy_paste(img, labels, [], rng, p=hyp.get("copy_paste", 0.0))
+    # (`if p and len(segments)`), only acts when instance polygons exist —
+    # i.e. the segments pipeline; detect/pose/obb pass through.
+    if kind == "segments":
+        img, labels, points = copy_paste(
+            img, labels, points, rng, p=hyp.get("copy_paste", 0.0)
+        )
     img = albumentations_transform(img, rng, p=hyp.get("albumentations", 0.0))
     img = random_hsv(
         img, rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4)
     )
-    img, labels, _ = random_flip_lr(img, labels, rng, hyp.get("fliplr", 0.5))
-    return img, labels
+    img, labels, points = random_flip_ud(img, labels, rng, hyp.get("flipud", 0.0), points)
+    img, labels, points, _ = random_flip_lr(
+        img, labels, rng, hyp.get("fliplr", 0.5), points, kind=kind, flip_idx=flip_idx
+    )
+    return img, labels, points
 
 
 _ALBU = None

@@ -202,6 +202,15 @@ class YOLODataset:
         ).astype(np.float32)
         return img, labels
 
+    # -- per-instance point sets (segments/keypoints/obb corners) ----------
+    # subclasses with instance geometry set points_kind and implement
+    # _raw_points(i) -> (n, P, D) px aligned with _raw(i)'s label rows
+    points_kind: Optional[str] = None
+    flip_idx = None  # pose chiral-pair swap indices for fliplr
+
+    def _raw_points(self, i: int):
+        return None
+
     def _make_buffered_raw(self, primary: int):
         """_raw with mosaic-PARTNER buffering (reference base.py:147-182):
         the primary sample always loads fresh (epoch coverage is exact) and
@@ -209,14 +218,15 @@ class YOLODataset:
         cutting the per-mosaic-sample decode count from 4 toward 1."""
         buf = self._buffer
 
-        def get_item(i: int) -> Tuple[np.ndarray, np.ndarray]:
+        def get_item(i: int):
             if i != primary and buf.maxlen and len(buf) >= min(buf.maxlen, 4):
-                img, labels = buf[int(self.rng.integers(len(buf)))]
-                return img, labels.copy()
+                img, labels, points = buf[int(self.rng.integers(len(buf)))]
+                return img, labels.copy(), (None if points is None else points.copy())
             img, labels = self._raw(i)
+            points = self._raw_points(i) if self.points_kind else None
             if buf.maxlen:
-                buf.append((img, labels))
-            return img, labels.copy()
+                buf.append((img, labels, points))
+            return img, labels.copy(), (None if points is None else points.copy())
 
         return get_item
 
@@ -227,9 +237,14 @@ class YOLODataset:
         if self.device_aug and self.augment and self.hyp.get("mosaic", 1.0) > 0:
             return self.tiles_item(i)
         if self.augment:
-            img, labels = train_augment(
-                self._make_buffered_raw(i), i, len(self), self.rng, self.imgsz, self.hyp
+            img, labels, points = train_augment(
+                self._make_buffered_raw(i), i, len(self), self.rng, self.imgsz,
+                self.hyp, kind=self.points_kind, flip_idx=self.flip_idx,
             )
+            out = self._format_detect(img, labels, i)
+            if self.points_kind:
+                self._format_points(out, labels, points, img.shape[:2])
+            return out
         else:
             img, labels = self._raw(i)
             target = (
@@ -241,6 +256,10 @@ class YOLODataset:
                 labels = labels.copy()
                 labels[:, [1, 3]] = labels[:, [1, 3]] * ratio + dw
                 labels[:, [2, 4]] = labels[:, [2, 4]] * ratio + dh
+        return self._format_detect(img, labels, i)
+
+    def _format_detect(self, img: np.ndarray, labels: np.ndarray, i: int) -> Dict[str, np.ndarray]:
+        """Pad (n, 5) cls+xyxy px labels to the fixed (M, ...) batch format."""
         h, w = img.shape[:2]
         M = self.max_boxes
         gt_labels = np.zeros((M,), np.int32)
@@ -264,6 +283,10 @@ class YOLODataset:
             "mask_gt": mask,
             "im_id": np.asarray(i, np.int64),  # index into self.im_files
         }
+
+    def _format_points(self, out: Dict[str, np.ndarray], labels, points, img_hw) -> None:
+        """Subclass hook: add task keys (gt_masks/gt_kpts/obb gt_bboxes) from
+        the augmented per-instance point sets."""
 
     def close_mosaic(self):
         """Disable mosaic/mixup for the final epochs (reference trainer.py:365)."""

@@ -1,15 +1,18 @@
-"""Eval-mode datasets for the segmentation / pose / classification tasks
+"""Datasets for the segmentation / pose / OBB / classification tasks
 (reference: data/dataset.py ``YOLODataset(task=...)`` parses segment and
 keypoint label columns; ``ClassificationDataset``:227).
 
-Letterbox-only loading with padded fixed shapes (the train-side seg/pose
-augmentation stack is a documented gap; these make `Model.val()` and
-prediction work on real YOLO-format seg/pose datasets)."""
+Eval mode letterboxes with padded fixed shapes; train mode (augment=True)
+runs the full geometric pipeline — mosaic/perspective/copy-paste/flip — with
+instance polygons, keypoints, or OBB corners riding the base dataset's
+``points`` channel (data/augment.py module docstring; reference
+augment.py:347 RandomPerspective segment/keypoint transforms, :753 CopyPaste,
+:973 v8_transforms)."""
 
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -17,16 +20,49 @@ from .dataset import YOLODataset
 from .preprocess import letterbox_geometry
 from .utils import polygon2mask
 
+# COCO-17 left/right chiral swap for horizontal flips (reference: the
+# dataset YAML's flip_idx key, e.g. coco8-pose.yaml)
+COCO17_FLIP_IDX = (0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15)
+
 
 class SegmentationEvalDataset(YOLODataset):
     """YOLO segment labels: `cls x1 y1 x2 y2 ...` normalized polygon rows.
     Emits detect keys + gt_masks (M, mask_h, mask_w) binary, built from the
-    letterboxed polygons (reference Format(mask=True), augment.py:876)."""
+    letterboxed (eval) or augmented (train) polygons (reference
+    Format(mask=True), augment.py:876)."""
 
-    def __init__(self, *args, mask_ratio: int = 4, **kwargs):
+    points_kind = "segments"
+
+    def __init__(self, *args, mask_ratio: int = 4, seg_points: int = 200, **kwargs):
         self.mask_ratio = mask_ratio
+        self.seg_points = seg_points
         self._segments: Dict[int, list] = {}
         super().__init__(*args, **kwargs)
+
+    def _raw_points(self, i: int) -> np.ndarray:
+        """(n, K, 2) arclength-resampled polygons in raw-image pixels."""
+        from .augment import resample_polygon
+
+        if i not in self._segments:
+            self._parse_label_file(i)
+        rh, rw = (int(v) for v in self.image_shapes()[i])
+        segs = self._segments.get(i, [])
+        if not segs:
+            return np.zeros((0, self.seg_points, 2), np.float32)
+        return np.stack(
+            [resample_polygon(p * np.array([rw, rh], np.float32), self.seg_points)
+             for p in segs]
+        )
+
+    def _format_points(self, out, labels, points, img_hw) -> None:
+        h, w = img_hw
+        mh, mw = h // self.mask_ratio, w // self.mask_ratio
+        M = self.max_boxes
+        gt_masks = np.zeros((M, mh, mw), np.uint8)
+        if points is not None:
+            for j, poly in enumerate(points[:M]):
+                gt_masks[j] = polygon2mask((mh, mw), poly[..., :2] / self.mask_ratio)
+        out["gt_masks"] = gt_masks
 
     def _load_labels(self, root):
         # always parse: the npz label cache would skip _parse_label_file and
@@ -53,6 +89,8 @@ class SegmentationEvalDataset(YOLODataset):
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         out = super().__getitem__(i)
+        if self.augment:  # train path: gt_masks already set by _format_points
+            return out
         h, w = out["img"].shape[:2]
         mh, mw = h // self.mask_ratio, w // self.mask_ratio
         M = self.max_boxes
@@ -72,12 +110,45 @@ class SegmentationEvalDataset(YOLODataset):
 
 class PoseEvalDataset(YOLODataset):
     """YOLO pose labels: `cls cx cy w h (x y [v]) * nk` normalized.
-    Emits detect keys + gt_kpts (M, nk, 2|3) in letterboxed input pixels."""
+    Emits detect keys + gt_kpts (M, nk, 2|3) in letterboxed (eval) or
+    augmented (train) input pixels."""
 
-    def __init__(self, *args, kpt_shape: Tuple[int, int] = (17, 3), **kwargs):
+    points_kind = "keypoints"
+
+    def __init__(
+        self, *args, kpt_shape: Tuple[int, int] = (17, 3),
+        flip_idx: Optional[Tuple[int, ...]] = None, **kwargs,
+    ):
         self.kpt_shape = tuple(kpt_shape)
+        self.flip_idx = (
+            tuple(flip_idx) if flip_idx is not None
+            else (COCO17_FLIP_IDX if self.kpt_shape[0] == 17 else None)
+        )
         self._kpts: Dict[int, np.ndarray] = {}
         super().__init__(*args, **kwargs)
+
+    def _raw_points(self, i: int) -> np.ndarray:
+        """(n, nk, nd) keypoints in raw-image pixels (v passthrough)."""
+        if i not in self._kpts:
+            self._parse_label_file(i)
+        rh, rw = (int(v) for v in self.image_shapes()[i])
+        k = self._kpts.get(i)
+        nk, nd = self.kpt_shape
+        if k is None or not len(k):
+            return np.zeros((0, nk, nd), np.float32)
+        k = k.copy()
+        k[..., 0] *= rw
+        k[..., 1] *= rh
+        return k
+
+    def _format_points(self, out, labels, points, img_hw) -> None:
+        nk, nd = self.kpt_shape
+        M = self.max_boxes
+        gt_kpts = np.zeros((M, nk, nd), np.float32)
+        if points is not None:
+            n = min(len(points), M)
+            gt_kpts[:n] = points[:n]
+        out["gt_kpts"] = gt_kpts
 
     def _load_labels(self, root):
         # always parse: the npz label cache would lose the keypoint columns
@@ -101,6 +172,8 @@ class PoseEvalDataset(YOLODataset):
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         out = super().__getitem__(i)
+        if self.augment:  # train path: gt_kpts already set by _format_points
+            return out
         h, w = out["img"].shape[:2]
         nk, nd = self.kpt_shape
         M = self.max_boxes
@@ -159,11 +232,39 @@ class OBBEvalDataset(YOLODataset):
     """DOTA-format OBB labels: `cls x1 y1 x2 y2 x3 y3 x4 y4` normalized
     corner rows (reference data/dataset.py task='obb' + ops
     xyxyxyxy2xywhr). Emits detect keys with gt_bboxes (M, 5) = normalized
-    xywh + angle rad, the obb_loss/OBBValidator contract."""
+    xywh + angle rad, the obb_loss/OBBValidator contract. Train mode flows
+    the corner quads through the geometric pipeline and refits xywhr via
+    min-area-rect (reference ops.py xyxyxyxy2xywhr's cv2.minAreaRect)."""
+
+    points_kind = "corners"
 
     def __init__(self, *args, **kwargs):
         self._corners: Dict[int, np.ndarray] = {}
         super().__init__(*args, **kwargs)
+
+    def _raw_points(self, i: int) -> np.ndarray:
+        """(n, 4, 2) corner quads in raw-image pixels."""
+        if i not in self._corners:
+            self._parse_label_file(i)
+        rh, rw = (int(v) for v in self.image_shapes()[i])
+        c = self._corners.get(i)
+        if c is None or not len(c):
+            return np.zeros((0, 4, 2), np.float32)
+        return c * np.array([rw, rh], np.float32)
+
+    def _format_points(self, out, labels, points, img_hw) -> None:
+        import cv2
+
+        h, w = img_hw
+        M = self.max_boxes
+        gt5 = np.zeros((M, 5), np.float32)
+        if points is not None:
+            for j, quad in enumerate(points[:M]):
+                (cx, cy), (rw, rh), ang = cv2.minAreaRect(
+                    quad[..., :2].astype(np.float32)
+                )
+                gt5[j] = [cx / w, cy / h, rw / w, rh / h, np.deg2rad(ang)]
+        out["gt_bboxes"] = gt5
 
     def _load_labels(self, root):
         return [self._parse_label_file(i) for i in range(len(self.im_files))]
@@ -189,6 +290,8 @@ class OBBEvalDataset(YOLODataset):
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         out = super().__getitem__(i)
+        if self.augment:  # train path: xywhr already set by _format_points
+            return out
         h, w = out["img"].shape[:2]
         M = self.max_boxes
         # geometry only — no second decode (review finding): the base

@@ -3,10 +3,10 @@
 task_map trainer slot).
 
 Each subclass swaps the three task_map factories on DetectionTrainer:
-dataset, loss, validator. Seg/pose/obb train data loads through the
-eval-mode task datasets (letterbox only — the geometric train-aug stack for
-polygons/keypoints is a documented gap; HSV/flip-free training still
-converges on these tasks, and the loss/assigner paths are parity-tested)."""
+dataset, loss, validator. Seg/pose/obb train through the full geometric
+augmentation pipeline (mosaic/perspective/copy-paste/flip) with instance
+polygons/keypoints/corners transformed alongside boxes (data/augment.py;
+round-3 — closes the letterbox-only gap)."""
 
 from __future__ import annotations
 
@@ -44,8 +44,9 @@ class SegmentationTrainer(V8DetectionTrainer):
         from ..data.dataset_tasks import SegmentationEvalDataset
 
         return SegmentationEvalDataset(
-            path, imgsz=self.args.imgsz, augment=False,
-            single_cls=self.args.single_cls, seed=self.args.seed,
+            path, imgsz=self.args.imgsz, augment=(mode == "train"),
+            hyp=self.args.to_dict(), single_cls=self.args.single_cls,
+            seed=self.args.seed,
         )
 
     def make_loss(self, spec):
@@ -85,7 +86,8 @@ class PoseTrainer(V8DetectionTrainer):
         from ..data.dataset_tasks import PoseEvalDataset
 
         return PoseEvalDataset(
-            path, imgsz=self.args.imgsz, augment=False, kpt_shape=self.kpt_shape,
+            path, imgsz=self.args.imgsz, augment=(mode == "train"),
+            hyp=self.args.to_dict(), kpt_shape=self.kpt_shape,
             single_cls=self.args.single_cls, seed=self.args.seed,
         )
 
@@ -127,8 +129,9 @@ class OBBTrainer(V8DetectionTrainer):
         from ..data.dataset_tasks import OBBEvalDataset
 
         return OBBEvalDataset(
-            path, imgsz=self.args.imgsz, augment=False,
-            single_cls=self.args.single_cls, seed=self.args.seed,
+            path, imgsz=self.args.imgsz, augment=(mode == "train"),
+            hyp=self.args.to_dict(), single_cls=self.args.single_cls,
+            seed=self.args.seed,
         )
 
     def make_loss(self, spec):
