@@ -88,14 +88,37 @@ def _install_torchvision_stub():
 
     class InterpolationMode:
         NEAREST = "nearest"
+        NEAREST_EXACT = "nearest-exact"
         BILINEAR = "bilinear"
         BICUBIC = "bicubic"
 
+    class Resize:
+        """Functional nearest/nearest-exact resize over the trailing two dims
+        (the FGDM loss path resizes (B, H, W) depth maps; loss.py:1317)."""
+
+        def __init__(self, size, interpolation=InterpolationMode.NEAREST, **k):
+            self.size = size
+            self.interpolation = interpolation
+
+        def __call__(self, x):
+            import torch
+
+            oh, ow = self.size
+            ih, iw = x.shape[-2], x.shape[-1]
+            if self.interpolation == InterpolationMode.NEAREST_EXACT:
+                ys = torch.clamp(((torch.arange(oh) + 0.5) * ih / oh).floor().long(), max=ih - 1)
+                xs = torch.clamp(((torch.arange(ow) + 0.5) * iw / ow).floor().long(), max=iw - 1)
+            else:  # legacy 'nearest': floor(i * scale)
+                ys = torch.clamp((torch.arange(oh) * ih / oh).floor().long(), max=ih - 1)
+                xs = torch.clamp((torch.arange(ow) * iw / ow).floor().long(), max=iw - 1)
+            return x[..., ys, :][..., xs]
+
     for name in (
-        "Compose", "Resize", "Normalize", "ToTensor", "CenterCrop",
+        "Compose", "Normalize", "ToTensor", "CenterCrop",
         "ColorJitter", "RandomResizedCrop", "Pad",
     ):
         setattr(transforms, name, _Passthrough)
+    transforms.Resize = Resize
     transforms.InterpolationMode = InterpolationMode
     functional.InterpolationMode = InterpolationMode
     functional.resize = lambda x, *a, **k: x
