@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Ready-to-fire accuracy-parity recipe vs the reference (VERDICT r2 item #9).
+
+The 0.1-mAP north star can't be tested on this offline box (no COCO/KITTI
+data, no reference .pt weights). This tool makes the comparison a one-command
+job the hour they land:
+
+  COCO / COCO128 val parity (reference tasks.py:811 attempt_load_one_weight):
+    python tools/parity_run.py coco --weights yolov10s.pt --data coco128.yaml
+
+  KITTI 3D val parity (reference datasets/kitti.py:444-450 writes per-image
+  txt rows that feed eval_from_scrach):
+    python tools/parity_run.py kitti --weights yolov10s-3D.pt \
+        --data kitti.yaml [--ref-dir /path/to/reference/outputs/data]
+
+What each mode does:
+  coco:  load the torch .pt through AutoBackend's converter path, run our
+         DetectionValidator on the val split, print mAP50/mAP50-95. Put the
+         reference's own `yolo val` numbers next to these: parity == within
+         0.1 mAP.
+  kitti: run Detection3DValidator -> KITTI txt outputs + AP40 via
+         eval/kitti_eval. With --ref-dir, ALSO per-file-diff our txt rows
+         against the reference's exported txt outputs (same format), which
+         localizes any drift to decode vs eval.
+
+Tested offline by tests/test_parity_run.py on synthetic weights + datasets —
+the recipe itself is known-green; only the real inputs are missing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def run_coco(args) -> dict:
+    from yolov10_3d_tpu.engine.model import Model
+
+    m = Model(args.weights)
+    res = m.val(data=args.data, imgsz=args.imgsz, batch=args.batch,
+                save_dir=args.save_dir)
+    keys = [k for k in ("metrics/mAP50(B)", "metrics/mAP50-95(B)", "fitness")
+            if k in res]
+    print("\n== our validator on", args.data, "==")
+    for k in keys:
+        print(f"  {k}: {res[k]:.4f}")
+    print("reference command for the other side of the diff:\n"
+          f"  yolo val model={args.weights} data={args.data} imgsz={args.imgsz}")
+    return res
+
+
+def _parse_kitti_txt(path: Path) -> np.ndarray:
+    rows = []
+    if path.exists():
+        for ln in path.read_text().splitlines():
+            v = ln.split()
+            if len(v) >= 15:
+                rows.append([float(x) for x in v[4:8] + v[8:15]])
+    return np.array(rows, np.float64).reshape(-1, 11)
+
+
+def diff_kitti_txt(ours_dir: Path, ref_dir: Path, atol: float = 0.05) -> int:
+    """Greedy-match rows by 2D box and report max per-field drift."""
+    worst = 0.0
+    n_checked = 0
+    mismatched = []
+    for f in sorted(ours_dir.glob("*.txt")):
+        ref_f = ref_dir / f.name
+        a, b = _parse_kitti_txt(f), _parse_kitti_txt(ref_f)
+        if len(a) != len(b):
+            mismatched.append((f.name, len(a), len(b)))
+            continue
+        if not len(a):
+            continue
+        # match rows by nearest 2D box center
+        ca = a[:, :2] + (a[:, 2:4] - a[:, :2]) / 2
+        cb = b[:, :2] + (b[:, 2:4] - b[:, :2]) / 2
+        order = np.argmin(
+            np.linalg.norm(ca[:, None] - cb[None], axis=-1), axis=1
+        )
+        drift = np.abs(a - b[order]).max()
+        worst = max(worst, float(drift))
+        n_checked += len(a)
+    print(f"  txt diff: {n_checked} rows checked, max field drift {worst:.4f}")
+    for name, na, nb in mismatched[:10]:
+        print(f"  COUNT MISMATCH {name}: ours {na} vs ref {nb}")
+    ok = not mismatched and worst <= atol
+    print(f"  -> {'PARITY' if ok else 'DRIFT — inspect decode path'}")
+    return 0 if ok else 1
+
+
+def run_kitti(args) -> dict:
+    from yolov10_3d_tpu.engine.model import Model
+
+    m = Model(args.weights)
+    res = m.val(data=args.data, batch=args.batch, save_dir=args.save_dir)
+    print("\n== our 3D validator ==")
+    for k in ("metrics/3D", "fitness"):
+        if k in res:
+            print(f"  {k}: {res[k]:.4f}")
+    if args.ref_dir:
+        ours = Path(args.save_dir) / "data"
+        if not ours.is_dir():
+            cands = list(Path(args.save_dir).rglob("*.txt"))
+            ours = cands[0].parent if cands else ours
+        print(f"== per-file txt diff vs {args.ref_dir} ==")
+        rc = diff_kitti_txt(ours, Path(args.ref_dir))
+        if rc:
+            sys.exit(rc)
+    return res
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    sub = ap.add_subparsers(dest="mode", required=True)
+    for name in ("coco", "kitti"):
+        p = sub.add_parser(name)
+        p.add_argument("--weights", required=True, help=".pt (reference) or .ckpt")
+        p.add_argument("--data", required=True, help="dataset yaml")
+        p.add_argument("--imgsz", type=int, default=640)
+        p.add_argument("--batch", type=int, default=16)
+        p.add_argument("--save-dir", default="runs/parity")
+    sub.choices["kitti"].add_argument(
+        "--ref-dir", default=None,
+        help="directory of the reference's exported KITTI txt outputs to diff",
+    )
+    args = ap.parse_args(argv)
+    return run_coco(args) if args.mode == "coco" else run_kitti(args)
+
+
+if __name__ == "__main__":
+    main()
