@@ -119,6 +119,59 @@ for epoch in range(2):
         state, m = pstep(state, gb)
         losses.append(float(m["loss"]))
 
+# -- 3D leg (round-3): the 17-column KITTI batch (calib, 3D targets,
+# mean_sizes) crosses make_global_batch and the sharded dual-branch 3D loss
+# runs one step; both hosts must agree on the loss
+mini3d_yaml = os.path.join(outdir, "mini3d.yaml")
+if proc_id == 0 and not os.path.exists(mini3d_yaml):
+    with open(mini3d_yaml, "w") as f:
+        f.write(
+            "nc: 2\n"
+            "scales: {n: [1.0, 1.0, 256]}\n"
+            "backbone:\n"
+            "  - [-1, 1, Conv, [8, 3, 2]]\n"
+            "  - [-1, 1, Conv, [16, 3, 2]]\n"
+            "  - [-1, 1, Conv, [16, 3, 2]]\n"
+            "  - [-1, 1, Conv, [32, 3, 2]]\n"
+            "  - [-1, 1, Conv, [32, 3, 2]]\n"
+            "head:\n"
+            "  - [[2, 3, 4], 1, v10Detect3d, [nc]]\n"
+        )
+else:
+    import time as _t
+
+    for _ in range(100):
+        if os.path.exists(mini3d_yaml):
+            break
+        _t.sleep(0.1)
+
+import __graft_entry__ as graft
+from yolov10_3d_tpu.train.loss3d import detect3d_loss
+
+model3, spec3 = build_model(mini3d_yaml)
+vars3 = jax.jit(model3.init, static_argnames="train")(
+    jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)), train=False
+)
+tx3 = optax.sgd(0.01, momentum=0.9)
+step3 = make_train_step(
+    model3, tx3, nc=spec3.nc, strides=spec3.strides,
+    loss_fn=lambda preds, b: detect3d_loss(
+        preds, b, nc=spec3.nc, strides=spec3.strides, hyp=graft.HYP_3D
+    ),
+)
+state3 = replicate_state_multihost(TrainState.create(vars3, tx3), mesh)
+pstep3 = make_parallel_train_step(step3, mesh)
+local3 = {
+    k: np.asarray(v)
+    for k, v in graft.make_3d_batch(4, (32, 64), nc=spec3.nc, seed=proc_id).items()
+}
+gb3 = make_global_batch(local3, mesh)
+pstep3.lower(state3, gb3).compile()
+_dist.global_state.client.wait_at_barrier("mh3d_precompiled", 600_000)
+state3, m3 = pstep3(state3, gb3)
+loss3d = float(m3["loss"])
+print(f"MH3D proc={proc_id} loss3d={loss3d:.6f}", flush=True)
+
 # host-0-only checkpoint write (reference rank-0 save, trainer.py:454)
 if jax.process_index() == 0:
     from yolov10_3d_tpu.utils.checkpoint import save_checkpoint

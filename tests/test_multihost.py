@@ -66,3 +66,13 @@ def test_two_process_training(tmp_path):
     assert sorted(set(seen0) | set(seen1)) == list(range(8))
     # host-0-only checkpoint
     assert (tmp_path / "mh.ckpt").exists()
+    # 3D leg: the sharded dual-branch 3D step ran and both hosts agree
+    l3d = {}
+    for out in outs:
+        m = re.search(r"MH3D proc=(\d) loss3d=([-\d.]+)", out)
+        assert m, out[-2000:]
+        l3d[int(m.group(1))] = float(m.group(2))
+    assert l3d[0] == pytest.approx(l3d[1], rel=1e-5)
+    import math
+
+    assert math.isfinite(l3d[0])
