@@ -95,6 +95,74 @@ def bench_train_step(batch_candidates=(128, 64, 32)):
     return 0.0, 0, 0.0
 
 
+def bench_train3d_step(batch_candidates=(32, 16, 8)):
+    """Flagship YOLOv10-S-3D train step img/s/chip at the KITTI resolution
+    (384x1280): forward + dual-branch 3D loss (8-branch head, 3D TAL
+    assignment) + backward + SGD + EMA, bf16 compute (VERDICT r2 item #2).
+
+    Baseline: the fork publishes no KITTI throughput; we scale the 2D train
+    baseline by the pixel ratio (640^2 / (384*1280) = 0.833): 350 * 0.833 ~=
+    292 img/s as the per-accelerator reference-equivalent."""
+    import optax
+
+    import __graft_entry__ as graft
+    from yolov10_3d_tpu.nn.build import build_model
+    from yolov10_3d_tpu.train.loss3d import detect3d_loss
+    from yolov10_3d_tpu.train.state import TrainState, make_train_step
+
+    hw = (384, 1280)
+    model, spec = build_model("yolov10_3d_tpu/cfg/models/v10-3D/yolov10s_3D.yaml")
+    x0 = jnp.zeros((1, *hw, 3), jnp.float32)
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x0, train=False
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(10.0),
+        optax.sgd(learning_rate=0.01, momentum=0.937, nesterov=True),
+    )
+
+    def loss_fn(preds, batch):
+        return detect3d_loss(
+            preds, batch, nc=spec.nc, strides=spec.strides, hyp=graft.HYP_3D
+        )
+
+    step_fn = jax.jit(
+        make_train_step(
+            model, tx, nc=spec.nc, strides=spec.strides,
+            compute_dtype=jnp.bfloat16, loss_fn=loss_fn,
+        ),
+        donate_argnums=0,
+    )
+    for B in batch_candidates:
+        try:
+            batch = graft.make_3d_batch(B, hw, M=20, nc=spec.nc)
+            state = TrainState.create(variables, tx)
+            state, metrics = step_fn(state, batch)  # compile + warmup
+            for _ in range(2):
+                state, metrics = step_fn(state, batch)
+            float(metrics["loss"])
+            iters = 10
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, metrics = step_fn(state, batch)
+            float(metrics["loss"])  # fence
+            dt = (time.perf_counter() - t0) / iters
+            return B / dt, B, dt
+        except Exception as e:
+            msg = str(e)
+            oom = any(
+                k in msg
+                for k in ("RESOURCE_EXHAUSTED", "Out of memory", "out of memory",
+                          "Ran out of memory", "hbm capacity")
+            )
+            if not oom:
+                raise
+    return 0.0, 0, 0.0
+
+
+BASELINE_TRAIN3D_IMGS_PER_SEC = 292.0  # 350 * 640^2/(384*1280), see docstring
+
+
 def main():
     from yolov10_3d_tpu.nn.build import build_model
     from yolov10_3d_tpu.ops.postprocess import v10_detections
@@ -157,7 +225,22 @@ def main():
                 "step_ms": round(train_dt * 1e3, 2),
                 "vs_baseline": round(train_ips / BASELINE_TRAIN_IMGS_PER_SEC, 3),
             }
-        )
+        ),
+        flush=True,
+    )
+    train3d_ips, train3d_b, train3d_dt = bench_train3d_step()
+    print(
+        json.dumps(
+            {
+                "metric": "yolov10s_3d_384x1280_train_step_imgs_per_sec_per_chip",
+                "value": round(train3d_ips, 2),
+                "unit": "images/sec",
+                "batch": train3d_b,
+                "step_ms": round(train3d_dt * 1e3, 2),
+                "vs_baseline": round(train3d_ips / BASELINE_TRAIN3D_IMGS_PER_SEC, 3),
+            }
+        ),
+        flush=True,
     )
     print(
         json.dumps(
@@ -168,6 +251,8 @@ def main():
                 "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
                 "train_imgs_per_sec": round(train_ips, 2),
                 "train_vs_baseline": round(train_ips / BASELINE_TRAIN_IMGS_PER_SEC, 3),
+                "train3d_imgs_per_sec": round(train3d_ips, 2),
+                "train3d_vs_baseline": round(train3d_ips / BASELINE_TRAIN3D_IMGS_PER_SEC, 3),
             }
         )
     )

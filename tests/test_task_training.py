@@ -109,3 +109,15 @@ def test_obb_training_e2e(tmp_path):
     from yolov10_3d_tpu.engine.trainer_tasks import OBBTrainer
 
     assert isinstance(m.trainer, OBBTrainer)
+
+
+def test_val_after_train_with_different_nc(tmp_path):
+    """train() on a 2-class dataset rebuilds the head (yaml default nc=80);
+    the facade must follow the trainer's model or val() applies 2-class
+    params through an 80-class head (round-3 ScopeParamShapeError fix)."""
+    split = _det_tree(tmp_path, lambda i: "0 0.5 0.5 0.4 0.4\n1 0.3 0.3 0.2 0.2\n")
+    data = _yaml(tmp_path, split)
+    m = _train("yolov10n.yaml", data, tmp_path)
+    assert m.spec.nc == 2
+    res = m.val(data=data, imgsz=64, batch=2)
+    assert "fitness" in res and np.isfinite(res["fitness"])

@@ -275,6 +275,19 @@ class Model:
                 "params": jax.device_get(state.ema_params),
                 "batch_stats": jax.device_get(state.batch_stats),
             }
+            # the trainer rebuilds the model with the DATASET's nc (reference
+            # trainer setup_model overriding model.yaml nc); the facade must
+            # follow or a later val()/predict() applies the trained params
+            # through the stale pre-train head (round-3 fix: ScopeParamShapeError
+            # when data nc != yaml nc)
+            if getattr(trainer, "model", None) is not None:
+                self.model, self.spec = trainer.model, trainer.spec
+                from ..cfg import load_dataset_yaml
+
+                try:
+                    self.names = dict(load_dataset_yaml(cfg.data)["names"])
+                except Exception:
+                    pass
         return state
 
     def tune(self, use_ray: bool = False, iterations: int = 10, **kwargs):
