@@ -55,8 +55,10 @@ def bench_train_step(batch_candidates=(128, 64, 32)):
     )
 
     rng = np.random.default_rng(0)
+    host_vars = jax.device_get(variables)  # donation-safe: fresh copy per attempt
     for B in batch_candidates:
         try:
+            variables = jax.tree.map(jnp.asarray, host_vars)
             M = 20
             xywh = np.stack(
                 [
@@ -133,8 +135,10 @@ def bench_train3d_step(batch_candidates=(32, 16, 8)):
         ),
         donate_argnums=0,
     )
+    host_vars = jax.device_get(variables)  # donation-safe: fresh copy per attempt
     for B in batch_candidates:
         try:
+            variables = jax.tree.map(jnp.asarray, host_vars)
             batch = graft.make_3d_batch(B, hw, M=20, nc=spec.nc)
             state = TrainState.create(variables, tx)
             state, metrics = step_fn(state, batch)  # compile + warmup

@@ -53,10 +53,19 @@ class DS:
 
 # tiny 5-conv model: the test exercises the DISTRIBUTED machinery, not the
 # architecture — keeps 2-process compile time bounded on a loaded box
+def _write_atomic(path, text):
+    """tmp + rename: proc 1 polls os.path.exists and must never see a
+    partially-written yaml (review fix)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.rename(tmp, path)
+
+
 mini_yaml = os.path.join(outdir, "mini.yaml")
 if proc_id == 0 and not os.path.exists(mini_yaml):
-    with open(mini_yaml, "w") as f:
-        f.write(
+    _write_atomic(
+        mini_yaml,
             "nc: 2\n"
             "scales: {n: [1.0, 1.0, 256]}\n"
             "backbone:\n"
@@ -67,7 +76,7 @@ if proc_id == 0 and not os.path.exists(mini_yaml):
             "  - [-1, 1, Conv, [32, 3, 2]]\n"
             "head:\n"
             "  - [[2, 3, 4], 1, v10Detect, [nc]]\n"
-        )
+    )
 else:
     import time as _t
 
@@ -124,8 +133,8 @@ for epoch in range(2):
 # runs one step; both hosts must agree on the loss
 mini3d_yaml = os.path.join(outdir, "mini3d.yaml")
 if proc_id == 0 and not os.path.exists(mini3d_yaml):
-    with open(mini3d_yaml, "w") as f:
-        f.write(
+    _write_atomic(
+        mini3d_yaml,
             "nc: 2\n"
             "scales: {n: [1.0, 1.0, 256]}\n"
             "backbone:\n"
@@ -136,7 +145,7 @@ if proc_id == 0 and not os.path.exists(mini3d_yaml):
             "  - [-1, 1, Conv, [32, 3, 2]]\n"
             "head:\n"
             "  - [[2, 3, 4], 1, v10Detect3d, [nc]]\n"
-        )
+    )
 else:
     import time as _t
 

@@ -267,3 +267,47 @@ def test_detect_pipeline_unchanged_without_points(tmp_path):
     out = ds[0]
     assert set(out) == {"img", "gt_labels", "gt_bboxes", "mask_gt", "im_id"}
     assert out["img"].shape == (64, 64, 3)
+
+
+def test_empty_mosaic_keeps_points_tail_dims():
+    """All-empty tiles must produce (0, P, D) with the task's trailing dims —
+    a (0,1,2) placeholder crashed pose formatting and mixup concat."""
+    from yolov10_3d_tpu.data.augment import mixup, mosaic4
+
+    rng = np.random.default_rng(0)
+    img = np.zeros((64, 64, 3), np.uint8)
+    empty = (img, np.zeros((0, 5), np.float32), np.zeros((0, 4, 3), np.float32))
+    canvas, labels, points = mosaic4([empty] * 4, (64, 64), rng)
+    assert points.shape == (0, 4, 3)
+    # mixup with a non-empty partner concatenates cleanly
+    full = (
+        img,
+        np.array([[0, 10, 10, 30, 30]], np.float32),
+        np.zeros((1, 4, 3), np.float32),
+    )
+    _, labels2, points2 = mosaic4([full] * 4, (64, 64), rng)
+    _, lab3, pts3 = mixup(canvas, labels, canvas, labels2, rng, points, points2)
+    assert pts3.shape[1:] == (4, 3) and len(pts3) == len(lab3)
+
+
+def test_pose_dataset_empty_image_train_aug(tmp_path):
+    """A pose dataset whose images have no labels survives the augment path."""
+    from yolov10_3d_tpu.data.dataset_tasks import PoseEvalDataset
+
+    img_dir = tmp_path / "train" / "images"
+    lbl_dir = tmp_path / "train" / "labels"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    for i in range(4):
+        cv2.imwrite(
+            str(img_dir / f"{i}.jpg"),
+            np.random.default_rng(i).integers(0, 255, (64, 64, 3), np.uint8),
+        )
+        (lbl_dir / f"{i}.txt").write_text("")  # background-only
+    ds = PoseEvalDataset(
+        img_dir, imgsz=64, augment=True, kpt_shape=(4, 3),
+        hyp={"mosaic": 1.0}, seed=0,
+    )
+    out = ds[0]
+    assert out["gt_kpts"].shape == (ds.max_boxes, 4, 3)
+    assert not out["mask_gt"].any()

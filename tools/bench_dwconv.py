@@ -45,33 +45,7 @@ def dw_shift_fma(x, k, stride=1):
     return out
 
 
-def timed(fn, *args, iters=8):
-    float(jax.tree.leaves(fn(*args))[0])
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        float(jax.tree.leaves(out)[0])
-        ts.append(time.perf_counter() - t0)
-    return float(np.min(ts))
-
-
-def gnorm(g):
-    return sum(jnp.sum(t.astype(jnp.float32) ** 2) for t in jax.tree.leaves(g))
-
-
-_RTT = None
-
-
-def rtt():
-    """Dispatch+readback overhead of a trivial jitted scalar through the
-    axon tunnel — subtracted from every measurement (see bench.py)."""
-    global _RTT
-    if _RTT is None:
-        x = jnp.ones((8, 8), jnp.float32)
-        triv = jax.jit(lambda x: x[0, 0])
-        _RTT = timed(triv, x, iters=20)
-    return _RTT
+from _bench_util import gnorm, timed_min  # noqa: E402
 
 
 def bench(name, H, W, C, kk=3, stride=1):
@@ -116,8 +90,8 @@ def bench(name, H, W, C, kk=3, stride=1):
         fwd = jax.jit(fn)
         grd = jax.jit(lambda x, ks, f=fn: gnorm(jax.grad(
             lambda kk_: f(x, kk_))(ks)))
-        tf = max(timed(fwd, x, ks) - rtt(), 1e-6) / N_LAYERS
-        tg = max(timed(grd, x, ks) - rtt(), 1e-6) / N_LAYERS
+        tf = max(timed_min(fwd, x, ks), 1e-6) / N_LAYERS
+        tg = max(timed_min(grd, x, ks), 1e-6) / N_LAYERS
         r[tag] = (tf, tg)
     (af, ag), (bf, bg) = r["xla"], r["fma"]
     print(f"{name:26s} xla fwd {af*1e3:6.2f} grad {ag*1e3:6.2f} | "

@@ -30,15 +30,7 @@ from yolov10_3d_tpu.nn.build import build_model  # noqa: E402
 B, HW = 64, 640
 
 
-def timed(fn, *args, iters=8):
-    float(jax.tree.leaves(fn(*args))[0])
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        float(jax.tree.leaves(out)[0])
-        ts.append(time.perf_counter() - t0)
-    return float(np.min(ts))
+from _bench_util import timed_min as timed  # noqa: E402 (RTT-cancelled)
 
 
 def main():

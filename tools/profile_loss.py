@@ -15,19 +15,19 @@ from yolov10_3d_tpu.ops.boxes import bbox_iou, make_anchors
 from yolov10_3d_tpu.train.loss import v10_detect_loss, detection_loss
 from yolov10_3d_tpu.train.tal import assign, _topk_mask
 
-B, M, C = 64, 20, 80
+import sys
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+M, C = 20, 80
 shapes = [(80, 80), (40, 40), (20, 20)]
 A = sum(h * w for h, w in shapes)
 strides = (8, 16, 32)
 
 
+from _bench_util import timed as _timed  # noqa: E402
+
+
 def timed(fn, *args, iters=8):
-    float(jax.tree.leaves(fn(*args))[0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    float(jax.tree.leaves(out)[0])
-    return (time.perf_counter() - t0) / iters * 1e3
+    return _timed(fn, *args, iters=iters) * 1e3
 
 
 def main():
@@ -75,6 +75,21 @@ def main():
                                                   gains=(7.5, 0.5, 1.5), one2many_topk=10)[0]),
         feats_om, feats_oo, batch,
     )
+    def gnorm(g):
+        return sum(jnp.sum(t.astype(jnp.float32) ** 2) for t in jax.tree.leaves(g))
+
+    t_loss_grad = timed(
+        jax.jit(lambda fm, fo, b: gnorm(jax.grad(
+            lambda f2, f3: v10_detect_loss({"one2many": f2, "one2one": f3}, b,
+                                           nc=C, strides=strides,
+                                           gains=(7.5, 0.5, 1.5), one2many_topk=10)[0],
+            argnums=(0, 1))(fm, fo))),
+        feats_om, feats_oo, batch,
+    )
+    t_assign1 = timed(
+        jax.jit(lambda *a: assign(*a, topk=1, num_classes=C).target_scores.sum()),
+        pd_scores, pd_bboxes, anc, gt_labels, gt_bboxes, mask_gt,
+    )
     t_v8 = timed(
         jax.jit(lambda fm, b: detection_loss(fm, b, nc=C, strides=strides,
                                                 gains=(7.5, 0.5, 1.5), tal_topk=10)[0]),
@@ -87,8 +102,10 @@ def main():
     print(f"  _topk_mask:            {t_topk:7.1f} ms")
     print(f"    lax.top_k only:      {t_lax_topk:7.1f} ms")
     print(f"    one_hot count only:  {t_onehot:7.1f} ms")
+    print(f"assign (topk=1):         {t_assign1:7.1f} ms")
     print(f"v8 single loss:          {t_v8:7.1f} ms")
     print(f"v10 dual loss:           {t_loss:7.1f} ms")
+    print(f"v10 dual loss fwd+bwd:   {t_loss_grad:7.1f} ms")
 
 
 if __name__ == "__main__":

@@ -21,19 +21,12 @@ from yolov10_3d_tpu.nn.build import build_model
 from yolov10_3d_tpu.train.loss import v10_detect_loss
 from yolov10_3d_tpu.train.state import TrainState, make_train_step
 
-B, HW, M = 64, 640, 20
+import sys
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+HW, M = 640, 20
 
 
-def timed(fn, *args, iters=8):
-    """fn must return something whose first leaf is a SCALAR; scalar readback
-    is the only reliable fence through the axon tunnel (block_until_ready
-    returns early — see bench.py)."""
-    float(jax.tree.leaves(fn(*args))[0])  # compile + warmup
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    float(jax.tree.leaves(out)[0])
-    return (time.perf_counter() - t0) / iters
+from _bench_util import timed  # noqa: E402 (chained, RTT-cancelled)
 
 
 def main():

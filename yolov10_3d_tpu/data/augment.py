@@ -55,6 +55,15 @@ def _unpack_item(item):
     return img, labels, (rest[0] if rest else None)
 
 
+def _points_tail(items):
+    """Trailing (P, D) dims of the items' points arrays (for empty results)."""
+    for it in items:
+        pts = _unpack_item(it)[2]
+        if pts is not None and pts.ndim >= 3:
+            return tuple(pts.shape[1:])
+    return (1, 2)
+
+
 def resample_polygon(pts: np.ndarray, k: int) -> np.ndarray:
     """Resample a closed polygon (n, 2) to exactly k points, uniformly by
     arclength (fixed-size representation so instance geometry batches as a
@@ -150,7 +159,9 @@ def mosaic4(
     labels[:, 1:] = labels[:, 1:].clip(0, [sw * 2, sh * 2, sw * 2, sh * 2])
     points = np.concatenate(out_points) if out_points else None
     if has_points and points is None:
-        points = np.zeros((0, 1, 2), np.float32)
+        # all tiles empty: keep the task's (P, D) trailing dims (a (0,1,2)
+        # placeholder crashed pose formatting and mixup concat — review fix)
+        points = np.zeros((0,) + _points_tail(items), np.float32)
     return canvas, labels, points
 
 
@@ -224,7 +235,7 @@ def mosaic9(
     labels = np.concatenate(out_labels) if out_labels else np.zeros((0, 5), np.float32)
     points = np.concatenate(out_points) if out_points else None
     if has_points and points is None:
-        points = np.zeros((0, 1, 2), np.float32)
+        points = np.zeros((0,) + _points_tail(items), np.float32)
     if len(labels):
         labels[:, [1, 3]] -= xc
         labels[:, [2, 4]] -= yc

@@ -37,7 +37,24 @@ class V8DetectionTrainer(DetectionTrainer):
         return loss_fn
 
 
-class SegmentationTrainer(V8DetectionTrainer):
+class _PointsTaskTrainer(V8DetectionTrainer):
+    """Shared base for tasks whose datasets carry instance point sets: the
+    device-aug tiles path has no points channel, so it is force-disabled
+    (the host pipeline augments points exactly; review fix — device_aug=True
+    used to KeyError on batch['tiles'] inside the jitted step)."""
+
+    def _device_aug_active(self) -> bool:
+        if self.args.get("device_aug"):
+            from ..utils import LOGGER
+
+            LOGGER.warning(
+                "device_aug=True ignored for seg/pose/obb: instance "
+                "polygons/keypoints ride the host pipeline"
+            )
+        return False
+
+
+class SegmentationTrainer(_PointsTaskTrainer):
     """reference models/yolo/segment/train.py ``SegmentationTrainer``."""
 
     def build_dataset(self, path, mode: str):
@@ -46,7 +63,8 @@ class SegmentationTrainer(V8DetectionTrainer):
         return SegmentationEvalDataset(
             path, imgsz=self.args.imgsz, augment=(mode == "train"),
             hyp=self.args.to_dict(), single_cls=self.args.single_cls,
-            seed=self.args.seed,
+            seed=self.args.seed, cache=self.args.get("cache") or None,
+            fraction=self.args.fraction if mode == "train" else 1.0,
         )
 
     def make_loss(self, spec):
@@ -67,7 +85,7 @@ class SegmentationTrainer(V8DetectionTrainer):
         return SegmentationValidator(self.model, self.spec, self.args, names)
 
 
-class PoseTrainer(V8DetectionTrainer):
+class PoseTrainer(_PointsTaskTrainer):
     """reference models/yolo/pose/train.py ``PoseTrainer``."""
 
     def __init__(self, *a, **kw):
@@ -79,8 +97,11 @@ class PoseTrainer(V8DetectionTrainer):
 
             d = load_dataset_yaml(self.args.data)
             self.kpt_shape = tuple(d.get("kpt_shape", (17, 3)))
+            fi = d.get("flip_idx")
+            self.flip_idx = tuple(fi) if fi is not None else None
         except Exception:
             self.kpt_shape = (17, 3)
+            self.flip_idx = None
 
     def build_dataset(self, path, mode: str):
         from ..data.dataset_tasks import PoseEvalDataset
@@ -88,7 +109,10 @@ class PoseTrainer(V8DetectionTrainer):
         return PoseEvalDataset(
             path, imgsz=self.args.imgsz, augment=(mode == "train"),
             hyp=self.args.to_dict(), kpt_shape=self.kpt_shape,
+            flip_idx=self.flip_idx,
             single_cls=self.args.single_cls, seed=self.args.seed,
+            cache=self.args.get("cache") or None,
+            fraction=self.args.fraction if mode == "train" else 1.0,
         )
 
     def make_loss(self, spec):
@@ -121,7 +145,7 @@ class PoseTrainer(V8DetectionTrainer):
         )
 
 
-class OBBTrainer(V8DetectionTrainer):
+class OBBTrainer(_PointsTaskTrainer):
     """reference models/yolo/obb/train.py ``OBBTrainer`` — labels in DOTA
     corner format (cls + 4 normalized xy pairs), converted to xywhr."""
 
@@ -131,7 +155,8 @@ class OBBTrainer(V8DetectionTrainer):
         return OBBEvalDataset(
             path, imgsz=self.args.imgsz, augment=(mode == "train"),
             hyp=self.args.to_dict(), single_cls=self.args.single_cls,
-            seed=self.args.seed,
+            seed=self.args.seed, cache=self.args.get("cache") or None,
+            fraction=self.args.fraction if mode == "train" else 1.0,
         )
 
     def make_loss(self, spec):

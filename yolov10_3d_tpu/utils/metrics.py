@@ -51,7 +51,9 @@ def ap_per_class(
     precision is cum_hits / rank (identical to tp/(tp+fp) for boolean hits),
     and grid resampling lives in ``_resample_by_conf``.
     """
-    desc = np.argsort(conf)[::-1]  # stable protocol order: confidence desc
+    # stable tie order matters: ties keep ascending original index like the
+    # reference's argsort(-conf) (a reversed argsort anti-stabilizes ties)
+    desc = np.argsort(-conf, kind="stable")
     tp, conf, pred_cls = tp[desc], conf[desc], pred_cls[desc]
     classes, gt_counts = np.unique(target_cls, return_counts=True)
     n_cls, n_thr = classes.shape[0], tp.shape[1]
@@ -83,7 +85,7 @@ def ap_per_class(
         "tp": tp_c, "fp": fp_c, "p": p, "r": r, "f1": f1, "ap": ap,
         "unique_classes": classes.astype(int), "nt": gt_counts,
         "p_curve": p_curve, "r_curve": r_curve, "f1_curve": f1_curve,
-        "x": _CONF_GRID,
+        "x": _CONF_GRID.copy(),  # callers may scale the grid for plots
     }
 
 
