@@ -73,3 +73,23 @@ def test_model_embeddings(dataset):
     assert ex.create_embeddings_table() == 6
     rows = ex.get_similar(idx=1, limit=2)
     assert rows[0]["im_file"].endswith("1.jpg")
+
+
+def test_sql_query(explorer):
+    """Real SQL via sqlite3 (reference explorer.py:173 sql_query)."""
+    rows = explorer.sql_query("WHERE n_labels >= 2")
+    assert rows and all(r["n_labels"] >= 2 for r in rows)
+    # full SELECT with the reference's quoted table name + LIKE over names
+    rows = explorer.sql_query(
+        "SELECT im_file, labels FROM 'table' WHERE labels LIKE '%0%'",
+        names={0: "cls0", 1: "cls1"},
+    )
+    assert all("labels" in r for r in rows)
+    # projection works
+    rows = explorer.sql_query("SELECT im_file FROM 'table' WHERE n_labels = 0")
+    assert rows and set(rows[0]) == {"im_file"}
+
+
+def test_plot_sql_query(explorer):
+    fig = explorer.plot_sql_query("WHERE n_labels >= 0")
+    assert fig is not None

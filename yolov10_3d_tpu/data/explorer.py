@@ -178,6 +178,71 @@ class Explorer:
         )
         return df[mask].head(limit).to_dict("records")
 
+    def sql_query(self, query: str, names: Optional[Dict[int, str]] = None,
+                  limit: int = 100):
+        """Real SQL over the embeddings table (reference explorer.py:173
+        ``sql_query`` runs duckdb over LanceDB; offline we load the same
+        columns into an in-memory stdlib sqlite3 table).
+
+        Columns: ``im_file`` TEXT, ``labels`` TEXT (space-joined class names,
+        so ``labels LIKE '%person%'`` works), ``n_labels`` INT, ``classes``
+        TEXT (JSON int list). Accepts a full ``SELECT ... FROM 'table' ...``
+        or a bare ``WHERE ...`` fragment, like the reference.
+        """
+        import json
+        import sqlite3
+
+        self._require_table()
+        names = names or (getattr(self.model, "names", None) or {})
+        con = sqlite3.connect(":memory:")
+        con.execute(
+            "CREATE TABLE 'table' (id INTEGER, im_file TEXT, labels TEXT, "
+            "n_labels INTEGER, classes TEXT)"
+        )
+        rows = [
+            (
+                i,
+                str(self.table["im_file"][i]),
+                " ".join(str(names.get(c, c)) for c in self.table["labels"][i]),
+                len(self.table["labels"][i]),
+                json.dumps(self.table["labels"][i]),
+            )
+            for i in range(len(self.table["im_file"]))
+        ]
+        con.executemany("INSERT INTO 'table' VALUES (?,?,?,?,?)", rows)
+        q = query.strip()
+        if q.upper().startswith("WHERE"):
+            q = f"SELECT * FROM 'table' {q}"
+        cur = con.execute(q)
+        cols = [d[0] for d in cur.description]
+        out = [dict(zip(cols, r)) for r in cur.fetchmany(limit)]
+        con.close()
+        return out
+
+    def plot_sql_query(self, query: str, names: Optional[Dict[int, str]] = None):
+        """Image-grid figure of a SQL query's rows (reference
+        explorer.py:219 ``plot_sql_query``). Returns a matplotlib figure."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from PIL import Image
+
+        rows = self.sql_query(query, names=names, limit=16)
+        n = max(len(rows), 1)
+        cols = int(np.ceil(np.sqrt(n)))
+        fig, axes = plt.subplots(
+            int(np.ceil(n / cols)), cols, figsize=(3 * cols, 3 * np.ceil(n / cols))
+        )
+        for ax, row in zip(np.atleast_1d(axes).ravel(), rows):
+            if "im_file" in row and Path(str(row["im_file"])).exists():
+                ax.imshow(Image.open(row["im_file"]))
+                ax.set_title(Path(str(row["im_file"])).name, fontsize=7)
+            ax.axis("off")
+        for ax in np.atleast_1d(axes).ravel()[len(rows):]:
+            ax.axis("off")
+        return fig
+
     def similarity_index(self, top_k: int = 5):
         """For each row, its most similar other rows — duplicate finder
         (reference explorer.py similarity_index)."""

@@ -302,10 +302,15 @@ def _build_module(spec: LayerSpec, name: str, extras: Dict[str, Any]):
         d = a[5] if len(a) > 5 else 1
         act = a[6] if len(a) > 6 else True
         # layer 0 with 3 input channels maps badly onto the MXU; rewrite it
-        # as an exact space-to-depth conv when serving (ops/spd_stem.py)
+        # as an exact space-to-depth conv when serving (ops/spd_stem.py).
+        # spd_stem="all" extends the rewrite to EVERY dense k3/s2 conv: the
+        # backward's grad-of-input becomes a plain s1 conv grad instead of a
+        # base-dilated transposed conv (the slow TPU path) — see
+        # tools/profile_spd.py for the measured effect
+        spd_flag = extras.get("spd_stem")
         spd = bool(
-            extras.get("spd_stem")
-            and spec.i == 0
+            spd_flag
+            and (spec.i == 0 or spd_flag == "all")
             and k == 3
             and s == 2
             and p in (None, 1)
