@@ -28,9 +28,12 @@ def _setup(B=8):
     variables = jax.jit(model.init, static_argnames="train")(
         jax.random.PRNGKey(0), x, train=False
     )
+    # SGD: with warmup_epochs=0 the first step runs at full LR, and AdamW's
+    # normalized update amplifies psum-reduction-order sign flips of
+    # near-zero grads into +-lr param jumps (see test_train_step.py dp8 note)
     tx, _ = build_optimizer(
-        variables["params"], epochs=1, steps_per_epoch=10, batch_size=B, nbs=B,
-        warmup_epochs=0.0,
+        variables["params"], name="SGD", epochs=1, steps_per_epoch=10,
+        batch_size=B, nbs=B, warmup_epochs=0.0,
     )
 
     def loss_fn(preds, batch):

@@ -472,6 +472,25 @@ def _build_module(spec: LayerSpec, name: str, extras: Dict[str, Any]):
     raise ValueError(spec.module)
 
 
+# Blocks eligible for per-block remat: plain (x, train) call signature and
+# no head/decode logic. Heads and shape-plumbing ops (Concat/Upsample) stay
+# un-rematted — their activations are tiny or needed for the loss anyway.
+_REMAT_BLOCKS = frozenset(
+    {
+        "Conv", "DWConv", "Focus", "GhostConv", "RepConv", "Bottleneck",
+        "C2f", "C2", "C3", "C3k2", "C2fCIB", "SCDown", "SPPF", "SPPELAN",
+        "PSA", "C2PSA", "RepVGGDW", "ADown", "ELAN1", "RepNCSPELAN4",
+        "HGStem", "HGBlock", "GhostBottleneck", "C3Ghost", "C3TR", "C3x",
+        "AIFI", "CBAM",
+    }
+)
+
+
+def _block_apply(mdl, x, train):
+    """Lifted-transform target for nn.remat over a single block module."""
+    return mdl(x, train)
+
+
 class YOLOModel(nn.Module):
     """The compiled detection model: backbone + PAN neck + head.
 
@@ -482,6 +501,11 @@ class YOLOModel(nn.Module):
     spec: ModelSpec
     fast_eval: bool = False  # serving: skip train-only head branches at eval
     spd_stem: bool = False  # serving: exact space-to-depth stem rewrite
+    # remat: wrap each backbone/neck block in jax.checkpoint — activations
+    # inside a block are recomputed in the backward instead of saved, cutting
+    # peak HBM from sum-of-all-intermediates to sum-of-block-I/O. Unlocks
+    # larger train batches (B=256 OOM'd without it); costs ~1 extra forward.
+    remat: bool = False
 
     def setup(self):
         extras = dict(self.spec.yaml_extras)
@@ -544,9 +568,16 @@ class YOLOModel(nn.Module):
             elif isinstance(layer, (list, tuple)):  # n>1 sequential repeat (flax stores tuples)
                 out = inp
                 for sub in layer:
-                    out = sub(out, train)
+                    if self.remat and spec.module in _REMAT_BLOCKS:
+                        out = nn.remat(_block_apply, static_argnums=(2,))(
+                            sub, out, train
+                        )
+                    else:
+                        out = sub(out, train)
             elif head_kwargs is not None and spec.i == last_i:
                 out = layer(inp, train, **head_kwargs)
+            elif self.remat and spec.module in _REMAT_BLOCKS:
+                out = nn.remat(_block_apply, static_argnums=(2,))(layer, inp, train)
             else:
                 out = layer(inp, train)
             if spec.i in self.spec.save:
@@ -560,6 +591,10 @@ def build_model(
     nc: Optional[int] = None,
     fast_eval: bool = False,
     spd_stem: bool = False,
+    remat: bool = False,
 ) -> Tuple[YOLOModel, ModelSpec]:
     spec = parse_model_yaml(cfg, scale=scale, nc=nc)
-    return YOLOModel(spec=spec, fast_eval=fast_eval, spd_stem=spd_stem), spec
+    return (
+        YOLOModel(spec=spec, fast_eval=fast_eval, spd_stem=spd_stem, remat=remat),
+        spec,
+    )

@@ -37,6 +37,36 @@ def _bce_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
     return jnp.clip(logits, 0, None) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
+@jax.custom_vjp
+def _bce_logits_sum(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """``_bce_logits(...).sum()`` with an analytic VJP.
+
+    TPU note: autodiff of the log1p/exp/abs chain makes XLA keep several
+    (B, A, C) f32 intermediates as backward residuals — at B=128 that is
+    ~344 MB per array per branch, and under the train step's HBM pressure the
+    cls term measured +35 ms in-step (vs 1.2 ms isolated; tools/
+    exp_loss_slice.py). The closed form d/dlogits = sigmoid(logits) - targets
+    needs only the already-live logits/targets, so the backward is one fused
+    elementwise pass and no extra residuals survive the forward.
+    """
+    return _bce_logits(logits, targets).sum()
+
+
+def _bce_sum_fwd(logits, targets):
+    return _bce_logits_sum(logits, targets), (logits, targets)
+
+
+def _bce_sum_bwd(res, g):
+    logits, targets = res
+    d_logits = g * (jax.nn.sigmoid(logits) - targets)
+    # true VJP wrt targets (-g * logits); reaches only stop_gradient'd
+    # assigner outputs in this loss, but keep it correct for any caller
+    return d_logits, -g * logits
+
+
+_bce_logits_sum.defvjp(_bce_sum_fwd, _bce_sum_bwd)
+
+
 def _df_loss(pred_dist: jax.Array, target: jax.Array) -> jax.Array:
     """Distribution-focal loss (reference loss.py:98 ``BboxLoss._df_loss``).
 
@@ -59,6 +89,49 @@ def _df_loss(pred_dist: jax.Array, target: jax.Array) -> jax.Array:
     )
     ce = -(logp * w).sum(-1)
     return ce.mean(-1, keepdims=True)
+
+
+def _df_weights(target: jax.Array, reg_max: int, dtype) -> jax.Array:
+    """Interpolated two-bin one-hot targets of _df_loss, (..., 4, reg_max)."""
+    tl = jnp.floor(target).astype(jnp.int32)
+    tr = jnp.clip(tl + 1, 0, reg_max - 1)
+    wl = (tl + 1).astype(target.dtype) - target
+    wr = 1.0 - wl
+    return (
+        jax.nn.one_hot(tl, reg_max, dtype=dtype) * wl[..., None]
+        + jax.nn.one_hot(tr, reg_max, dtype=dtype) * wr[..., None]
+    )
+
+
+@jax.custom_vjp
+def _df_loss_fast(pred_dist: jax.Array, target: jax.Array) -> jax.Array:
+    """_df_loss with an analytic VJP (same value, same gradient).
+
+    The weights w sum to 1 over the bin axis, so the cross-entropy gradient
+    collapses to d/dz = (softmax(z) - w) / 4 (mean over the 4 sides) — the
+    backward recomputes softmax from the logits instead of storing the
+    (B, A, 4, reg_max) log_softmax + one-hot residuals (~275 MB each at
+    B=128) that autodiff would keep across the whole model backward.
+    """
+    return _df_loss(pred_dist, target)
+
+
+def _df_fast_fwd(pred_dist, target):
+    return _df_loss_fast(pred_dist, target), (pred_dist, target)
+
+
+def _df_fast_bwd(res, g):
+    pred_dist, target = res
+    reg_max = pred_dist.shape[-1]
+    w = _df_weights(target, reg_max, pred_dist.dtype)
+    # g: (..., 1) cotangent of the per-anchor mean; broadcast over 4 sides
+    d = (g[..., None] / 4.0) * (jax.nn.softmax(pred_dist, axis=-1) - w)
+    # targets are assigner outputs (non-differentiable in every caller, as in
+    # the reference where they're detached tensors) — declare zero cotangent
+    return d, jnp.zeros_like(target)
+
+
+_df_loss_fast.defvjp(_df_fast_fwd, _df_fast_bwd)
 
 
 def detection_loss(
@@ -111,18 +184,26 @@ def detection_loss(
 
     target_scores_sum = jnp.maximum(res.target_scores.sum(), 1.0)
 
-    # cls BCE (loss.py:239)
-    loss_cls = _bce_logits(pred_scores, res.target_scores).sum() / target_scores_sum
+    # cls BCE (loss.py:239) — analytic-VJP sum (see _bce_logits_sum)
+    loss_cls = _bce_logits_sum(pred_scores, res.target_scores) / target_scores_sum
 
-    # box CIoU + DFL on foreground (loss.py:81-96)
+    # box CIoU + DFL on foreground (loss.py:81-96). jax.checkpoint: the CIoU
+    # chain is ~20 elementwise (B,A) intermediates; recompute them in the
+    # backward from (pred_bboxes, targets) instead of keeping residuals —
+    # free FLOPs vs HBM traffic under the train step's memory pressure.
     fg = res.fg_mask
     weight = res.target_scores.sum(-1) * fg                   # (B,A)
     target_bboxes = res.target_bboxes / stride_tensor[None]
-    iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, ciou=True)[..., 0]
-    loss_box = (((1.0 - iou) * weight) * fg).sum() / target_scores_sum
+
+    @jax.checkpoint
+    def _box_term(pb, tb, w, f):
+        iou = bbox_iou(pb, tb, xywh=False, ciou=True)[..., 0]
+        return (((1.0 - iou) * w) * f).sum()
+
+    loss_box = _box_term(pred_bboxes, target_bboxes, weight, fg) / target_scores_sum
 
     target_ltrb = bbox2dist(anchor_points[None], target_bboxes, reg_max - 1)
-    dfl = _df_loss(pred_dist_bins, target_ltrb)[..., 0]       # (B,A)
+    dfl = _df_loss_fast(pred_dist_bins, target_ltrb)[..., 0]  # (B,A)
     loss_dfl = ((dfl * weight) * fg).sum() / target_scores_sum
 
     box_g, cls_g, dfl_g = gains

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..ops.boxes import make_anchors, xywh2xyxy
 from ..ops.postprocess import flatten_feats
-from .loss import _bce_logits
+from .loss import _bce_logits_sum
 from .tal3d import assign3d
 
 SPLITS = (2, 2, 2, 3, 24, 1, 1)  # o2d, s2d, o3d, s3d, hd, dep, dep_un
@@ -133,9 +133,10 @@ def dd_detection_loss(
     size_l1 = (jnp.abs(pred_2d_px[..., 2:] - res.target_size_2d) * fg[..., None]).sum() / (2 * n_fg)
     loss_box2d = (off_l1 + size_l1) / target_scores_sum * hyp.get("loss2d", 2.0)
 
-    # --- cls BCE
+    # --- cls BCE (analytic-VJP sum: no (B,A,C) backward residuals, see
+    # train/loss.py _bce_logits_sum)
     loss_cls = (
-        _bce_logits(pred_scores, res.target_scores).sum() / target_scores_sum
+        _bce_logits_sum(pred_scores, res.target_scores) / target_scores_sum
         * hyp.get("cls", 1.0)
     )
 
