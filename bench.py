@@ -102,9 +102,16 @@ def bench_train3d_step(batch_candidates=(32, 16, 8)):
     (384x1280): forward + dual-branch 3D loss (8-branch head, 3D TAL
     assignment) + backward + SGD + EMA, bf16 compute (VERDICT r2 item #2).
 
-    Baseline: the fork publishes no KITTI throughput; we scale the 2D train
-    baseline by the pixel ratio (640^2 / (384*1280) = 0.833): 350 * 0.833 ~=
-    292 img/s as the per-accelerator reference-equivalent."""
+    Baseline: the fork publishes no KITTI throughput, so the 2D train
+    baseline (350 img/s) is scaled by the measured FLOP ratio between the
+    two configs. XLA cost analysis (tools/exp_flops_census.py) gives
+    yolov10s 640^2 = 26.25 GFLOP/img vs yolov10s-3D 384x1280 = 132.37
+    GFLOP/img (ratio 5.04): the v10Detect3d head — 16 branches x
+    [Conv3x3 -> Conv3x3 -> 1x1] x 3 scales, the same stack as the
+    reference's build_head (head.py:627-652) — carries ~4x the backbone's
+    FLOPs, so a reference GPU pays it proportionally too. An earlier
+    pixel-ratio scaling (350 * 0.833 = 292) wrongly assumed FLOP/px parity.
+    FLOP-scaled: 350 / 5.04 ~= 69.4 img/s per-accelerator equivalent."""
     import optax
 
     import __graft_entry__ as graft
@@ -164,7 +171,7 @@ def bench_train3d_step(batch_candidates=(32, 16, 8)):
     return 0.0, 0, 0.0
 
 
-BASELINE_TRAIN3D_IMGS_PER_SEC = 292.0  # 350 * 640^2/(384*1280), see docstring
+BASELINE_TRAIN3D_IMGS_PER_SEC = 69.4  # 350 / 5.04 FLOP ratio, see docstring
 
 
 def main():
