@@ -22,10 +22,22 @@ def apply_model(model, variables, x):
     return _jitted_apply(model)(variables, x)
 
 
-def make_kitti_tree(root, n_images: int = 8, with_seg: bool = False, seed: int = 0):
+def make_kitti_tree(
+    root,
+    n_images: int = 8,
+    with_seg: bool = False,
+    seed: int = 0,
+    draw_boxes: bool = False,
+):
     """Synthetic KITTI tree: images + plausible Car labels + calib + split
     files; optional deepseg instance masks (pixel = label row index,
-    background 51) for the FGDM depth-map path."""
+    background 51) for the FGDM depth-map path.
+
+    draw_boxes=True paints each object as a filled rectangle with a
+    per-instance color over the noise background, giving the net real
+    visual signal (2D location + apparent size ~ 1/z) — required by the
+    overfit-to-AP convergence tests; plain noise images are fine for the
+    shape/finiteness smoke tests."""
     import math
     from pathlib import Path
 
@@ -50,6 +62,7 @@ def make_kitti_tree(root, n_images: int = 8, with_seg: bool = False, seed: int =
         img = rng.uniform(0, 255, (375, 1242, 3)).astype(np.uint8)
         seg = np.full((375, 1242), 51, np.uint8)
         lines = []
+        drawn = []
         for j in range(3):
             x = float(rng.uniform(-8, 8))
             z = float(rng.uniform(8, 40))
@@ -64,6 +77,20 @@ def make_kitti_tree(root, n_images: int = 8, with_seg: bool = False, seed: int =
             x2, y2 = min(u + bw / 2, 1241), min(v + bh / 2, 374)
             if x2 - x1 < 10 or y2 - y1 < 10:
                 continue
+            if draw_boxes and any(
+                x1 < px2 and px1 < x2 and y1 < py2 and py1 < y2
+                for px1, py1, px2, py2 in drawn
+            ):
+                continue  # later rects overdraw earlier ones -> unlearnable GT
+            drawn.append((x1, y1, x2, y2))
+            if draw_boxes:
+                # distinct, far-from-noise-mean color per instance so the
+                # net can memorize per-instance attributes (ry, exact z)
+                color = np.array(
+                    [40 + 70 * j, 255 - 80 * j, (60 + 90 * i + 50 * j) % 256],
+                    np.uint8,
+                )
+                img[int(y1) : int(y2), int(x1) : int(x2)] = color
             seg[int(y1) : int(y2), int(x1) : int(x2)] = len(lines)
             alpha = ry - math.atan2(u - 609.5593, 721.5377)
             lines.append(

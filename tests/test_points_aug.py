@@ -48,7 +48,7 @@ def test_perspective_segments_track_pixels():
     )[None]
     rng = np.random.default_rng(3)
     out, lab, pts = random_perspective(
-        img, labels, rng, (128, 128), degrees=15, translate=0.1, scale=0.3,
+        img, labels, rng, degrees=15, translate=0.1, scale=0.3,
         shear=4, points=poly, kind="segments",
     )
     assert len(lab) == 1 and pts.shape == (1, 64, 2)
@@ -73,7 +73,7 @@ def test_perspective_keypoints_visibility_and_alignment():
     kpts = np.array([[[60, 60, 2.0], [21, 21, 2.0]]], np.float32)
     rng = np.random.default_rng(1)
     out, lab, pts = random_perspective(
-        img, labels, rng, (128, 128), translate=0.4, scale=0.0,
+        img, labels, rng, translate=0.4, scale=0.0,
         points=kpts, kind="keypoints",
     )
     if len(lab):

@@ -20,7 +20,7 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.devices()
 
-from _bench_util import timed  # noqa: E402
+from _bench_util import timed, gnorm as gn  # noqa: E402
 
 from yolov10_3d_tpu.nn.build import build_model  # noqa: E402
 from yolov10_3d_tpu.train.loss import v10_detect_loss  # noqa: E402
@@ -59,11 +59,6 @@ def main():
 
     def psum(t):
         return sum(l.astype(jnp.float32).sum() for l in jax.tree.leaves(t))
-
-    def gn(g):
-        return sum(
-            jnp.sum(t.astype(jnp.float32) ** 2) for t in jax.tree.leaves(g)
-        )
 
     @jax.jit
     def fwd_train(params, img):

@@ -16,7 +16,7 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.devices()
 
-from _bench_util import timed  # noqa: E402
+from _bench_util import timed, gnorm as gn  # noqa: E402
 
 import __graft_entry__ as graft  # noqa: E402
 from yolov10_3d_tpu.nn.build import build_model  # noqa: E402
@@ -41,9 +41,6 @@ def main():
 
     def psum(t):
         return sum(l.astype(jnp.float32).sum() for l in jax.tree.leaves(t))
-
-    def gn(g):
-        return sum(jnp.sum(t.astype(jnp.float32) ** 2) for t in jax.tree.leaves(g))
 
     @jax.jit
     def fwd(params, img):

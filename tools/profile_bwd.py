@@ -30,7 +30,7 @@ from yolov10_3d_tpu.nn.build import build_model  # noqa: E402
 B, HW = 64, 640
 
 
-from _bench_util import timed_min as timed  # noqa: E402 (RTT-cancelled)
+from _bench_util import timed_min as timed, gnorm  # noqa: E402 (RTT-cancelled)
 
 
 def main():
@@ -59,9 +59,6 @@ def main():
             mutable=["batch_stats"],
         )
         return psum(preds)
-
-    def gnorm(g):
-        return sum(jnp.sum(t.astype(jnp.float32) ** 2) for t in jax.tree.leaves(g))
 
     @jax.jit
     def grad_train(params, x):

@@ -23,7 +23,7 @@ A = sum(h * w for h, w in shapes)
 strides = (8, 16, 32)
 
 
-from _bench_util import timed as _timed  # noqa: E402
+from _bench_util import timed as _timed, gnorm  # noqa: E402
 
 
 def timed(fn, *args, iters=8):
@@ -75,9 +75,6 @@ def main():
                                                   gains=(7.5, 0.5, 1.5), one2many_topk=10)[0]),
         feats_om, feats_oo, batch,
     )
-    def gnorm(g):
-        return sum(jnp.sum(t.astype(jnp.float32) ** 2) for t in jax.tree.leaves(g))
-
     t_loss_grad = timed(
         jax.jit(lambda fm, fo, b: gnorm(jax.grad(
             lambda f2, f3: v10_detect_loss({"one2many": f2, "one2one": f3}, b,

@@ -95,8 +95,14 @@ def random_flip_lr(img, labels, rng, p=0.5, points=None, kind=None, flip_idx=Non
         if points is not None and len(points):
             points = points.copy()
             points[..., 0] = w - points[..., 0]
-            if kind == "keypoints" and flip_idx is not None:
-                points = points[:, np.asarray(flip_idx, int)]
+            if kind == "keypoints" and flip_idx is not None and len(flip_idx):
+                idx = np.asarray(flip_idx, int)
+                if len(idx) != points.shape[1]:
+                    raise ValueError(
+                        f"flip_idx has {len(idx)} entries but keypoints have "
+                        f"{points.shape[1]} points (reference augment.py:995)"
+                    )
+                points = points[:, idx]
         return img, labels, points, True
     return img, labels, points, False
 
@@ -309,7 +315,6 @@ def random_perspective(
     img: np.ndarray,
     labels: np.ndarray,
     rng: np.random.Generator,
-    imgsz: Tuple[int, int],
     degrees=0.0,
     translate=0.1,
     scale=0.5,
@@ -320,7 +325,8 @@ def random_perspective(
     kind: Optional[str] = None,
 ):
     """Affine/perspective warp + box transform + candidate filter
-    (reference augment.py:347 ``RandomPerspective``). imgsz (h, w).
+    (reference augment.py:347 ``RandomPerspective``). Output size is the
+    input canvas + 2*border (mosaic canvas 2s with border=-s/2 -> s).
 
     With ``points`` (n, P, D): point xy transform through the same M;
     kind="segments"/"corners" re-derive boxes from the warped point sets
@@ -426,14 +432,20 @@ def random_perspective(
 
 
 def mixup(img1, labels1, img2, labels2, rng, points1=None, points2=None):
-    """Beta(32,32) image blend (reference augment.py:326 ``MixUp``)."""
+    """Beta(32,32) image blend (reference augment.py:326 ``MixUp``).
+    points must be present on both sides or neither: label rows and point
+    rows stay aligned row-for-row (silent misalignment would attach wrong
+    polygons/keypoints downstream)."""
+    if (points1 is None) != (points2 is None):
+        raise ValueError(
+            "mixup: points1/points2 must both be arrays or both None "
+            "(labels and points are row-aligned)"
+        )
     r = rng.beta(32.0, 32.0)
     img = (img1.astype(np.float32) * r + img2.astype(np.float32) * (1 - r)).astype(np.uint8)
     labels = np.concatenate([labels1, labels2], 0)
     points = (
-        np.concatenate([points1, points2], 0)
-        if points1 is not None and points2 is not None
-        else points1
+        np.concatenate([points1, points2], 0) if points1 is not None else None
     )
     return img, labels, points
 
@@ -449,7 +461,7 @@ def train_augment(
     flip_idx=None,
 ):
     """The v8 train pipeline (reference augment.py:973 ``v8_transforms``):
-    mosaic(p) -> random_perspective(border=-s/2) -> [mixup(p)] -> copy_paste
+    mosaic(p) -> copy_paste -> random_perspective(border=-s/2) -> [mixup(p)]
     -> hsv -> flip. ``get_item(i) -> (img, labels cls+xyxy px[, points])``
     loads raw samples; returns (img, labels, points) with points=None for
     plain detect. ``kind``/``flip_idx`` select the per-task point semantics
@@ -457,8 +469,16 @@ def train_augment(
     sh, sw = imgsz
 
     def _warp(img, labels, points, border):
+        # reference pre_transform order (augment.py:975-988): CopyPaste runs
+        # BEFORE RandomPerspective, so pasted instances get warped too; it
+        # only acts when instance polygons exist (`if p and len(segments)`),
+        # i.e. the segments task — detect/pose/obb pass through.
+        if kind == "segments":
+            img, labels, points = copy_paste(
+                img, labels, points, rng, p=hyp.get("copy_paste", 0.0)
+            )
         return random_perspective(
-            img, labels, rng, imgsz,
+            img, labels, rng,
             degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.1),
             scale=hyp.get("scale", 0.4), shear=hyp.get("shear", 0.0),
             perspective=hyp.get("perspective", 0.0), border=border,
@@ -492,14 +512,6 @@ def train_augment(
         )
         img2, labels2, points2 = _warp(img2, labels2, points2, (-sh // 2, -sw // 2))
         img, labels, points = mixup(img, labels, img2, labels2, rng, points, points2)
-    # copy-paste sits here in the reference pipeline (v8_transforms,
-    # augment.py:973) and, exactly like the reference CopyPaste
-    # (`if p and len(segments)`), only acts when instance polygons exist —
-    # i.e. the segments pipeline; detect/pose/obb pass through.
-    if kind == "segments":
-        img, labels, points = copy_paste(
-            img, labels, points, rng, p=hyp.get("copy_paste", 0.0)
-        )
     img = albumentations_transform(img, rng, p=hyp.get("albumentations", 0.0))
     img = random_hsv(
         img, rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4)

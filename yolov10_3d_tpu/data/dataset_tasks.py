@@ -20,8 +20,9 @@ from .dataset import YOLODataset
 from .preprocess import letterbox_geometry
 from .utils import polygon2mask
 
-# COCO-17 left/right chiral swap for horizontal flips (reference: the
-# dataset YAML's flip_idx key, e.g. coco8-pose.yaml)
+# COCO-17 left/right chiral swap for horizontal flips — the value COCO pose
+# YAMLs put in their flip_idx key (e.g. coco8-pose.yaml). Exported for
+# convenience; never auto-applied (a 17-point skeleton isn't necessarily COCO)
 COCO17_FLIP_IDX = (0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15)
 
 
@@ -120,12 +121,26 @@ class PoseEvalDataset(YOLODataset):
         flip_idx: Optional[Tuple[int, ...]] = None, **kwargs,
     ):
         self.kpt_shape = tuple(kpt_shape)
-        self.flip_idx = (
-            tuple(flip_idx) if flip_idx is not None
-            else (COCO17_FLIP_IDX if self.kpt_shape[0] == 17 else None)
-        )
+        # never GUESS a chiral layout from the keypoint count: a non-COCO
+        # 17-point skeleton would silently train on mis-swapped pairs. The
+        # reference warns and disables fliplr when flip_idx is absent
+        # (augment.py:989-994) and raises on a wrong length (:995-996).
+        self.flip_idx = tuple(flip_idx) if flip_idx else None
+        if self.flip_idx is not None and len(self.flip_idx) != self.kpt_shape[0]:
+            raise ValueError(
+                f"data.yaml flip_idx has {len(self.flip_idx)} entries but "
+                f"kpt_shape is {self.kpt_shape}"
+            )
         self._kpts: Dict[int, np.ndarray] = {}
         super().__init__(*args, **kwargs)
+        if self.augment and self.flip_idx is None and self.hyp.get("fliplr", 0.0) > 0:
+            from ..utils import LOGGER
+
+            LOGGER.warning(
+                "no 'flip_idx' in the dataset yaml — setting fliplr=0.0 "
+                "(horizontal flip needs the chiral keypoint swap)"
+            )
+            self.hyp["fliplr"] = 0.0
 
     def _raw_points(self, i: int) -> np.ndarray:
         """(n, nk, nd) keypoints in raw-image pixels (v passthrough)."""

@@ -78,15 +78,11 @@ def _df_loss(pred_dist: jax.Array, target: jax.Array) -> jax.Array:
     ~80 ms at (64, 8400, 4, 16) on v5e; the one-hot form is pure VPU math.
     """
     reg_max = pred_dist.shape[-1]
-    tl = jnp.floor(target).astype(jnp.int32)
-    tr = jnp.clip(tl + 1, 0, reg_max - 1)
-    wl = (tl + 1).astype(target.dtype) - target
-    wr = 1.0 - wl
     logp = jax.nn.log_softmax(pred_dist, axis=-1)
-    w = (
-        jax.nn.one_hot(tl, reg_max, dtype=logp.dtype) * wl[..., None]
-        + jax.nn.one_hot(tr, reg_max, dtype=logp.dtype) * wr[..., None]
-    )
+    # single definition of the two-bin targets, shared with _df_loss_fast's
+    # analytic backward — editing the interpolation in one place only would
+    # silently desynchronize forward and gradient
+    w = _df_weights(target, reg_max, logp.dtype)
     ce = -(logp * w).sum(-1)
     return ce.mean(-1, keepdims=True)
 

@@ -126,7 +126,10 @@ def convert_torch_state_dict(
     # compare in the normalized (prefix.leaf) key space `used` records in
     leftover = {
         k for k in sd
-        if "num_batches_tracked" not in k and ".".join(_normalize(k)) not in used
+        if "num_batches_tracked" not in k
+        and ".dfl." not in k  # frozen arange projection, dropped by design
+        # (module docstring) — whitelist it so the warning stays meaningful
+        and ".".join(_normalize(k)) not in used
     }
     if leftover:
         from . import LOGGER
