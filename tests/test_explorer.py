@@ -93,3 +93,73 @@ def test_sql_query(explorer):
 def test_plot_sql_query(explorer):
     fig = explorer.plot_sql_query("WHERE n_labels >= 0")
     assert fig is not None
+
+
+@pytest.fixture(scope="module")
+def dash_server(explorer):
+    """Dashboard on an ephemeral port; yields its base URL."""
+    from yolov10_3d_tpu.data.explorer_dash import ExplorerDashboard
+
+    dash = ExplorerDashboard(explorer, names={0: "cls0", 1: "cls1"})
+    server = dash.serve(port=0, blocking=False)
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+    server.server_close()
+
+
+def _get(url):
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.status, r.headers.get("Content-Type", ""), r.read()
+
+
+def test_dash_front_page(dash_server):
+    status, ctype, body = _get(dash_server + "/")
+    assert status == 200 and "text/html" in ctype
+    assert b"Dataset explorer" in body
+
+
+def test_dash_sql_endpoint(dash_server):
+    import json
+
+    status, _, body = _get(dash_server + "/api/sql?q=WHERE+n_labels+%3E%3D+2")
+    rows = json.loads(body)["rows"]
+    assert status == 200 and rows and all(r["n_labels"] >= 2 for r in rows)
+    # SQL errors surface as JSON, not a 500
+    _, _, body = _get(dash_server + "/api/sql?q=SELEKT+broken")
+    out = json.loads(body)
+    assert out["rows"] == [] and "error" in out
+
+
+def test_dash_similar_and_index(dash_server):
+    import json
+
+    _, _, body = _get(dash_server + "/api/files")
+    files = json.loads(body)["files"]
+    assert len(files) == 6
+    from urllib.parse import quote
+
+    _, _, body = _get(dash_server + f"/api/similar?img={quote(files[2])}&limit=3")
+    rows = json.loads(body)["rows"]
+    assert len(rows) == 3 and rows[0]["im_file"] == files[2]
+    _, _, body = _get(dash_server + "/api/similar?idx=0&limit=2")
+    assert len(json.loads(body)["rows"]) == 2
+    _, _, body = _get(dash_server + "/api/index?top_k=2")
+    rows = json.loads(body)["rows"]
+    assert len(rows) == 6 and len(rows[0]["similar"]) == 2
+
+
+def test_dash_image_serving_allowlist(dash_server):
+    import json
+    import urllib.error
+    from urllib.parse import quote
+
+    _, _, body = _get(dash_server + "/api/files")
+    files = json.loads(body)["files"]
+    status, ctype, body = _get(dash_server + f"/img?path={quote(files[0])}")
+    assert status == 200 and ctype == "image/jpeg" and len(body) > 100
+    # anything not in the table is refused (traversal guard)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(dash_server + "/img?path=" + quote("/etc/passwd"))
+    assert e.value.code == 404

@@ -3,7 +3,8 @@
 Grammar: ``yolo10 TASK MODE key=value ...`` with TASK in {detect, detect3d,
 segment, classify, pose, obb} and MODE in {train, val, predict, export,
 benchmark}; both optional, inferred like the reference (the head module in
-the model YAML decides the real pipeline — the TASK word is a hint). Special commands: help, version, settings, cfg.
+the model YAML decides the real pipeline — the TASK word is a hint).
+Special commands: help, version, cfg, explorer.
 """
 
 from __future__ import annotations
@@ -26,6 +27,7 @@ examples:
   yolo10 train model=yolov10s.yaml data=coco128.yaml epochs=100 imgsz=640
   yolo10 detect3d train model=yolov10s_3D.yaml data=kitti.yaml
   yolo10 export model=yolov10s.ckpt format=stablehlo
+  yolo10 explorer data=coco128.yaml  # dataset dashboard (HTTP)
   yolo10 cfg                      # print default config
 """
 
@@ -57,6 +59,26 @@ def entrypoint(argv=None) -> int:
         from . import DEFAULT_CFG_PATH
 
         print(DEFAULT_CFG_PATH.read_text())
+        return 0
+    if argv[0] == "explorer":
+        # `yolo explorer` launches the dataset dashboard (reference
+        # cfg/__init__.py:414 handle_explorer runs the streamlit dash; ours
+        # is the stdlib-HTTP ExplorerDashboard).
+        kv = parse_kv(argv[1:])
+        data = kv.pop("data", None)
+        if data is None:
+            raise SystemExit("explorer requires data=<images dir or dataset yaml>")
+        from ..data.explorer import Explorer
+        from ..data.explorer_dash import ExplorerDashboard
+        from ..engine.model import YOLO
+
+        model = YOLO(str(kv.pop("model", "yolov10n.yaml")))
+        ex = Explorer(data, model=model, imgsz=int(kv.pop("imgsz", 256)))
+        n = ex.create_embeddings_table()
+        print(f"embedded {n} images")
+        ExplorerDashboard(ex, names=getattr(model, "names", None)).serve(
+            port=int(kv.pop("port", 7861))
+        )
         return 0
 
     task = None
