@@ -50,6 +50,10 @@ def test_train_val_predict_export(tiny_dataset, tmp_path):
     info = model.info()
     assert info["nc"] == 80 and info["parameters"] > 2e6
 
+    # facade callback registration (reference Model.add_callback)
+    fired = []
+    model.add_callback("on_fit_epoch_end", lambda tr: fired.append(tr.epoch))
+
     state = model.train(
         data=str(tiny_dataset),
         epochs=2,
@@ -66,6 +70,7 @@ def test_train_val_predict_export(tiny_dataset, tmp_path):
         amp=False,
     )
     assert state is not None
+    assert fired == [0, 1]  # facade-registered callback fired every epoch
     assert (tmp_path / "run" / "weights" / "last.ckpt").exists()
     assert (tmp_path / "run" / "results.csv").exists()
 

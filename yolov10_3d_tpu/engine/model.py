@@ -268,6 +268,8 @@ class Model:
         trainer = cls(cfg)
         if teacher is not None:
             trainer.teacher = teacher  # frozen distillation teacher callable
+        for event, fn in getattr(self, "_callbacks", []):
+            trainer.add_callback(event, fn)
         self.trainer = trainer  # surfaced for tune() / callback attachment
         state = trainer.train()
         if state is not None:
@@ -355,6 +357,28 @@ class Model:
             meta={"model_yaml": str(getattr(self, "model_cfg", "")),
                   "names": {int(k): v for k, v in self.names.items()}},
         )(fmt=fmt, imgsz=imgsz, out=out, batch=batch)
+
+    def add_callback(self, event: str, fn):
+        """Register a trainer callback (reference engine/model.py:831
+        ``Model.add_callback``). Stored on the facade and attached to every
+        trainer this model constructs."""
+        if not hasattr(self, "_callbacks"):
+            self._callbacks = []
+        self._callbacks.append((event, fn))
+        if getattr(self, "trainer", None) is not None:
+            self.trainer.add_callback(event, fn)
+
+    def clear_callback(self, event: str):
+        """Drop every handler for ``event`` (reference clear_callback)."""
+        self._callbacks = [
+            (e, f) for e, f in getattr(self, "_callbacks", []) if e != event
+        ]
+        if getattr(self, "trainer", None) is not None:
+            self.trainer.callbacks.pop(event, None)
+
+    def reset_callbacks(self):
+        """Drop all facade-registered handlers (reference reset_callbacks)."""
+        self._callbacks = []
 
     def info(self):
         n_params = sum(v.size for v in jax.tree.leaves(self.variables["params"]))

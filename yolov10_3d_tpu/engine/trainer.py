@@ -278,6 +278,7 @@ class DetectionTrainer:
         for epoch in range(start_epoch, epochs):
             if args.close_mosaic and epoch == epochs - args.close_mosaic:
                 train_ds.close_mosaic()
+            self.epoch = epoch  # surfaced for callbacks (reference trainer.py:356)
             self.run_callbacks("on_train_epoch_start")
             extras = self.epoch_batch_extras(epoch)
             t0 = time.time()
@@ -314,6 +315,9 @@ class DetectionTrainer:
                 fitness = results["fitness"]
                 row.update({k: v for k, v in results.items() if np.isscalar(v)})
             self._write_csv(csv_path, row)
+            # fires every epoch after train+val metrics land (reference
+            # trainer.py:475 — this is the event the TB/W&B loggers key off)
+            self.run_callbacks("on_fit_epoch_end")
 
             # fitness tracking happens regardless of args.save (Model.tune
             # reads best_fitness with saving off); meta is built AFTER the
@@ -336,6 +340,7 @@ class DetectionTrainer:
                     self.save_ckpt(self.save_dir / "weights" / "best.ckpt", state, meta)
                 if args.save_period > 0 and (epoch + 1) % args.save_period == 0:
                     self.save_ckpt(self.save_dir / "weights" / f"epoch{epoch}.ckpt", state, meta)
+                self.run_callbacks("on_model_save")
 
             self.run_callbacks("on_train_epoch_end")
             if stopper(epoch, fitness):
