@@ -142,16 +142,55 @@ class Exporter:
             path.write_bytes(blob)
             return str(path)
 
-        if fmt == "onnx":  # pragma: no cover - onnx unavailable offline
-            raise RuntimeError(
-                "onnx export requires the onnx package (not available in this "
-                "environment); use 'stablehlo' (portable, PjRt-consumable) or "
-                "'tf_saved_model'/'tflite' instead"
+        if fmt == "onnx":
+            # In-repo jaxpr->ONNX translator (nn/onnx_export.py) — no onnx
+            # package needed. v10/v10-3D/classify heads export the full
+            # NMS-free epilogue (TopK is an ONNX op); other detect heads
+            # export dense decoded predictions (B, A, 4+nc), matching the
+            # reference torch.onnx default of leaving NMS to the consumer
+            # (reference exporter.py:353 export_onnx, end2end=False path).
+            from ..nn.onnx_export import export_onnx
+
+            spec = self.spec
+            meta = {
+                "nc": str(spec.nc),
+                "strides": json.dumps(list(spec.strides)),
+                "max_det": str(max_det),
+                "task_head": spec.head_module,
+            }
+            if spec.head_module == "v10Detect3d":
+                fn = lambda x: fwd(self.variables, x)  # noqa: E731
+                out_names = ["reg", "scores", "labels"]
+            elif spec.head_module == "Classify":
+                fn = lambda x: fwd(self.variables, x)  # noqa: E731
+                out_names = ["probs"]
+            elif spec.head_module == "v10Detect":
+                fn = lambda x: fwd(self.variables, x)  # noqa: E731
+                out_names = ["boxes", "scores", "labels"]
+            else:
+                from ..ops.postprocess import decode_detect
+
+                def fn(x):
+                    o = self.model.apply(self.variables, x, train=False)
+                    feats = o["det"] if isinstance(o, dict) else o
+                    return decode_detect(feats, spec.strides, spec.nc)
+
+                out_names = ["predictions"]
+                meta["nms"] = "consumer"  # raw preds; NMS left to the runtime
+
+            blob = export_onnx(
+                fn, [x], input_names=["images"], output_names=out_names,
+                model_name=str(self.extra_meta.get("model_yaml", "yolo")),
+                metadata=meta,
             )
+            path = Path(out or "model.onnx")
+            path.parent.mkdir(parents=True, exist_ok=True)
+            path.write_bytes(blob)
+            return str(path)
 
         raise ValueError(
             f"unknown export format {fmt!r} "
-            "(stablehlo, saved_model, ckpt, tf_saved_model, tflite)"
+            "(stablehlo, saved_model, ckpt, tf_saved_model, tflite, onnx)"
         )
 
 

@@ -125,10 +125,38 @@ class AutoBackend:
             self.names = {}
             self.max_det = max_det
             self.input_shape = tuple(int(d) for d in inp["shape"])
+        elif self.kind == "onnx":
+            # in-repo numpy ONNX runtime (nn/onnx_runtime.py) — loads the
+            # Exporter's .onnx artifact without onnxruntime (reference
+            # autobackend.py loads .onnx via onnxruntime sessions)
+            import json
+
+            from .onnx_runtime import OnnxRuntime
+
+            rt = OnnxRuntime(Path(self.path).read_bytes())
+            meta = rt.model.metadata
+            self.nc = int(meta["nc"]) if "nc" in meta else None
+            self.max_det = max_det or (
+                int(meta["max_det"]) if "max_det" in meta else None
+            )
+            self.names = (
+                {i: str(i) for i in range(self.nc)} if self.nc else {}
+            )
+            in_info = rt.input_info[rt.input_names[0]]
+            n, c, h, w = (int(d) if not isinstance(d, str) else 1
+                          for d in in_info.shape)
+            self.input_shape = (n, h, w, c)  # forward() takes NHWC
+
+            def call(x):
+                xin = np.transpose(np.asarray(x, np.float32), (0, 3, 1, 2))
+                return rt(xin)
+
+            self._rt = rt
+            self._call = call
         else:
             raise ValueError(
                 f"unsupported weights format {self.kind!r} (supported: .ckpt, "
-                ".pt, stablehlo export dir, TF SavedModel dir, .tflite)"
+                ".pt, stablehlo export dir, TF SavedModel dir, .tflite, .onnx)"
             )
 
     def forward(self, imgs) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
