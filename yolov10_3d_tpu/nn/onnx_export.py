@@ -109,6 +109,17 @@ class _Ctx:
         return self.syms[v]
 
 
+def _cpu_device():
+    """The host CPU device, for cheap constant-fold executions."""
+    global _CPU0
+    if _CPU0 is None:
+        _CPU0 = jax.devices("cpu")[0]
+    return _CPU0
+
+
+_CPU0 = None
+
+
 def _np_compat(arr: np.ndarray) -> np.ndarray:
     """ml_dtypes bfloat16 constants -> fp32 for ONNX initializer friendliness."""
     if arr.dtype.name == "bfloat16":
@@ -361,6 +372,18 @@ def _translate_eqn(ctx: _Ctx, eqn) -> None:
     b = ctx.b
     prim = eqn.primitive.name
 
+    if prim in ("jit", "pjit", "closed_call", "core_call", "remat", "checkpoint"):
+        # Always recurse (even when fully constant): folding inner equations
+        # one-by-one hits XLA's eager per-primitive cache instead of
+        # compiling each folded subgraph as a fresh executable.
+        closed = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+        _translate_subjaxpr(ctx, closed, eqn.invars, eqn.outvars)
+        return
+    if prim in ("custom_jvp_call", "custom_vjp_call", "custom_vjp_call_jaxpr"):
+        closed = eqn.params.get("call_jaxpr") or eqn.params.get("fun_jaxpr")
+        _translate_subjaxpr(ctx, closed, eqn.invars, eqn.outvars)
+        return
+
     # ---- constant folding -------------------------------------------------
     if all(ctx.is_const(v) for v in eqn.invars):
         big_expand = prim in ("broadcast_in_dim", "expand_dims") and (
@@ -369,9 +392,12 @@ def _translate_eqn(ctx: _Ctx, eqn) -> None:
             > _EXPAND_FOLD_LIMIT
         )
         if not big_expand:
-            vals = [jnp.asarray(ctx.cval(v)) for v in eqn.invars]
-            subfuns, bind_params = eqn.primitive.get_bind_params(eqn.params)
-            out = eqn.primitive.bind(*subfuns, *vals, **bind_params)
+            # fold on the CPU backend: tiny eager executions over a TPU
+            # tunnel pay ~100ms RTT each and would dominate export time
+            with jax.default_device(_cpu_device()):
+                vals = [jnp.asarray(ctx.cval(v)) for v in eqn.invars]
+                subfuns, bind_params = eqn.primitive.get_bind_params(eqn.params)
+                out = eqn.primitive.bind(*subfuns, *vals, **bind_params)
             out = out if eqn.primitive.multiple_results else [out]
             for var, val in zip(eqn.outvars, out):
                 ctx.consts[var] = np.asarray(jax.device_get(val))
@@ -379,15 +405,6 @@ def _translate_eqn(ctx: _Ctx, eqn) -> None:
 
     ins = [ctx.sym(v) for v in eqn.invars]
     outs: Optional[List[str]] = None
-
-    if prim in ("jit", "pjit", "closed_call", "core_call", "remat", "checkpoint"):
-        closed = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
-        _translate_subjaxpr(ctx, closed, eqn.invars, eqn.outvars)
-        return
-    if prim in ("custom_jvp_call", "custom_vjp_call", "custom_vjp_call_jaxpr"):
-        closed = eqn.params.get("call_jaxpr") or eqn.params.get("fun_jaxpr")
-        _translate_subjaxpr(ctx, closed, eqn.invars, eqn.outvars)
-        return
 
     if prim in _ELEMENTWISE:
         op = _ELEMENTWISE[prim]
@@ -584,8 +601,13 @@ def export_onnx(
     jaxpr = closed.jaxpr
     b = GraphBuilder()
     ctx = _Ctx(b)
-    for cv, cval in zip(jaxpr.constvars, closed.consts):
-        ctx.consts[cv] = b.fetch(cval)
+    # one batched host transfer for all weights (per-const device_get over a
+    # TPU tunnel costs ~100ms RTT each)
+    host_consts = jax.device_get(list(closed.consts))
+    for cv, cval, host in zip(jaxpr.constvars, closed.consts, host_consts):
+        arr = np.asarray(host)
+        b._fetch_cache[id(cval)] = arr
+        ctx.consts[cv] = arr
 
     input_names = list(input_names or [f"input_{i}" for i in range(len(jaxpr.invars))])
     graph_inputs: List[W.ValueInfo] = []
