@@ -63,7 +63,7 @@ def test_autobackend_ckpt(tmp_path):
     boxes, scores, labels = backend.forward(np.zeros((1, 64, 64, 3), np.float32))
     assert boxes.shape == (1, 300, 4)
     with pytest.raises(ValueError):
-        AutoBackend("weights.onnx")
+        AutoBackend("weights.engine")  # TensorRT: genuinely unsupported
 
 
 def test_o2m_depth_aggregation():
