@@ -121,7 +121,12 @@ def test_primitive_roundtrip():
         c = jnp.clip(y, 0.5, 2.0)
         r = jnp.sqrt(jnp.abs(y)) + jax.lax.rsqrt(jnp.abs(y) + 1.0)
         md = jnp.remainder(jnp.asarray([7, -7]), jnp.asarray([3, 3]))
-        return z, s, v, i, taken, cat, m, red, am, sl, w, c, r, md
+        fl = jnp.flip(y, axis=0) + jnp.flip(y, axis=1)
+        cs = jax.lax.cumsum(y, axis=1, reverse=True) + jnp.cumsum(y, axis=0)
+        fin = jnp.isfinite(y / jnp.where(y > 1.0, 0.0, 1.0))
+        anyall = jnp.any(y > 1.0, axis=1) & jnp.all(y > -100.0, axis=0)[0]
+        rm = jax.checkpoint(lambda t: jnp.sin(t) * 2.0)(y)
+        return z, s, v, i, taken, cat, m, red, am, sl, w, c, r, md, fl, cs, fin, anyall, rm
 
     x = jnp.asarray(np.random.RandomState(0).randn(3, 4).astype(np.float32))
     blob = export_onnx(f, [x], input_names=["x"], nchw_input=False)

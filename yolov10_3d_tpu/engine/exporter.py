@@ -157,6 +157,8 @@ class Exporter:
                 "strides": json.dumps(list(spec.strides)),
                 "max_det": str(max_det),
                 "task_head": spec.head_module,
+                # the (B,H,W,3) image input is exposed NCHW (ONNX convention)
+                "input_layout": "NCHW",
             }
             if spec.head_module == "v10Detect3d":
                 fn = lambda x: fwd(self.variables, x)  # noqa: E731

@@ -129,8 +129,6 @@ class AutoBackend:
             # in-repo numpy ONNX runtime (nn/onnx_runtime.py) — loads the
             # Exporter's .onnx artifact without onnxruntime (reference
             # autobackend.py loads .onnx via onnxruntime sessions)
-            import json
-
             from .onnx_runtime import OnnxRuntime
 
             rt = OnnxRuntime(Path(self.path).read_bytes())
@@ -143,13 +141,24 @@ class AutoBackend:
                 {i: str(i) for i in range(self.nc)} if self.nc else {}
             )
             in_info = rt.input_info[rt.input_names[0]]
-            n, c, h, w = (int(d) if not isinstance(d, str) else 1
-                          for d in in_info.shape)
-            self.input_shape = (n, h, w, c)  # forward() takes NHWC
+            dims = tuple(int(d) if not isinstance(d, str) else 1
+                         for d in in_info.shape)
+            # the exporter records the graph input layout; only NCHW image
+            # graphs get the NHWC->NCHW bridge (non-4D / non-RGB inputs are
+            # exported in their native layout)
+            nchw = meta.get("input_layout", "NCHW" if len(dims) == 4 else "") == "NCHW"
+            if nchw:
+                n, c, h, w = dims
+                self.input_shape = (n, h, w, c)  # forward() takes NHWC
 
-            def call(x):
-                xin = np.transpose(np.asarray(x, np.float32), (0, 3, 1, 2))
-                return rt(xin)
+                def call(x):
+                    xin = np.transpose(np.asarray(x, np.float32), (0, 3, 1, 2))
+                    return rt(xin)
+            else:
+                self.input_shape = dims
+
+                def call(x):
+                    return rt(np.asarray(x, np.float32))
 
             self._rt = rt
             self._call = call

@@ -121,9 +121,9 @@ _CPU0 = None
 
 
 def _np_compat(arr: np.ndarray) -> np.ndarray:
-    """ml_dtypes bfloat16 constants -> fp32 for ONNX initializer friendliness."""
-    if arr.dtype.name == "bfloat16":
-        return np.asarray(arr, np.float32)
+    """bf16 constants stay bf16 (TensorProto BFLOAT16): converting weights to
+    fp32 while activations cast to bf16 would make Conv/Mul type-inconsistent
+    for strict ONNX consumers."""
     return np.asarray(arr)
 
 
@@ -146,8 +146,7 @@ _ELEMENTWISE = {
 }
 
 _REDUCE_ATTR = {"reduce_max": "ReduceMax", "reduce_min": "ReduceMin",
-                "reduce_prod": "ReduceProd", "reduce_and": "ReduceMin",
-                "reduce_or": "ReduceMax"}
+                "reduce_prod": "ReduceProd"}
 
 
 def _perm_transpose(b: GraphBuilder, x: str, perm: Sequence[int]) -> str:
@@ -365,17 +364,16 @@ def _handle_iota(ctx: _Ctx, eqn, ins):
     return [ctx.b.const(np.ascontiguousarray(_np_compat(arr)), "iota")]
 
 
-_DIRECT = {}
-
-
 def _translate_eqn(ctx: _Ctx, eqn) -> None:
     b = ctx.b
     prim = eqn.primitive.name
 
-    if prim in ("jit", "pjit", "closed_call", "core_call", "remat", "checkpoint"):
+    if prim in ("jit", "pjit", "closed_call", "core_call", "remat2", "remat",
+                "checkpoint"):
         # Always recurse (even when fully constant): folding inner equations
         # one-by-one hits XLA's eager per-primitive cache instead of
-        # compiling each folded subgraph as a fresh executable.
+        # compiling each folded subgraph as a fresh executable. remat is an
+        # identity at inference: translate its body inline.
         closed = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
         _translate_subjaxpr(ctx, closed, eqn.invars, eqn.outvars)
         return
@@ -491,6 +489,12 @@ def _translate_eqn(ctx: _Ctx, eqn) -> None:
     elif prim in _REDUCE_ATTR:
         outs = [b.node(_REDUCE_ATTR[prim], ins,
                        axes=list(eqn.params["axes"]), keepdims=0)]
+    elif prim in ("reduce_and", "reduce_or"):
+        # opset-13 ReduceMin/Max exclude bool: reduce in int32, recast
+        op = "ReduceMin" if prim == "reduce_and" else "ReduceMax"
+        as_int = b.node("Cast", ins, to=W.INT32)
+        red = b.node(op, [as_int], axes=list(eqn.params["axes"]), keepdims=0)
+        outs = [b.node("Cast", [red], to=W.BOOL)]
     elif prim == "argmax" or prim == "argmin":
         op = "ArgMax" if prim == "argmax" else "ArgMin"
         (axis,) = eqn.params["axes"]
@@ -543,7 +547,7 @@ def _translate_eqn(ctx: _Ctx, eqn) -> None:
         rev = bool(eqn.params.get("reverse", False))
         outs = [b.node("CumSum", [ins[0], axis], exclusive=0, reverse=int(rev))]
     elif prim == "is_finite":
-        inf = b.node("Not", [b.node("Isinf", ins)])
+        inf = b.node("Not", [b.node("IsInf", ins)])
         nan = b.node("Not", [b.node("IsNaN", ins)])
         outs = [b.node("And", [inf, nan])]
     elif prim == "square":
@@ -559,9 +563,11 @@ def _translate_eqn(ctx: _Ctx, eqn) -> None:
 
 
 def _translate_subjaxpr(ctx: _Ctx, closed, invars, outvars) -> None:
-    jaxpr = closed.jaxpr
+    # ClosedJaxpr (pjit/custom_jvp) or plain open Jaxpr (remat2)
+    jaxpr = getattr(closed, "jaxpr", closed)
+    consts = getattr(closed, "consts", ())
     inner = _Ctx(ctx.b)
-    for cv, cval in zip(jaxpr.constvars, closed.consts):
+    for cv, cval in zip(jaxpr.constvars, consts):
         inner.consts[cv] = ctx.b.fetch(cval)
     for iv, ov in zip(jaxpr.invars, invars):
         if ctx.is_const(ov):

@@ -82,9 +82,13 @@ def _slice(x, starts, ends, axes=None, steps=None):
             en = min(max(en + lim if en < 0 else en, 0), lim)
             sl[ax] = slice(st, en, sp)
         else:
+            # ONNX semantics: INT64_MIN / any end <= -(lim+1) means
+            # "include element 0"; check the sentinel BEFORE shifting
+            open_end = en <= -(lim + 1)
             st = min(max(st + lim if st < 0 else st, -1), lim - 1)
-            en = max(min(en + lim if en < -1 else en, lim), -lim - 1)
-            sl[ax] = slice(st, None if en == -(lim + 1) else en, sp)
+            if not open_end:
+                en = max(min(en + lim if en < -1 else en, lim), -lim - 1)
+            sl[ax] = slice(st, None if open_end else en, sp)
     return x[tuple(sl)]
 
 
@@ -181,7 +185,7 @@ class OnnxRuntime:
             "Floor": np.floor, "Ceil": np.ceil, "Round": lambda x: np.round(x),
             "Sin": np.sin, "Cos": np.cos, "Not": np.logical_not,
             "Reciprocal": lambda x: (1.0 / x).astype(x.dtype),
-            "IsNaN": np.isnan, "Isinf": np.isinf,
+            "IsNaN": np.isnan, "IsInf": np.isinf,
         }
         if op in _UNARY:
             out = _UNARY[op](ins[0])
@@ -264,7 +268,9 @@ class OnnxRuntime:
             return [np.pad(ins[0], width, constant_values=cval)]
         if op == "CumSum":
             axis = int(np.asarray(ins[1]).reshape(-1)[0])
-            out = np.cumsum(ins[0][::-1] if a.get("reverse") else ins[0],
-                            axis=axis)
-            return [out[::-1] if a.get("reverse") else out]
+            if a.get("reverse"):
+                out = np.flip(np.cumsum(np.flip(ins[0], axis), axis=axis), axis)
+            else:
+                out = np.cumsum(ins[0], axis=axis)
+            return [np.asarray(out, ins[0].dtype)]
         raise NotImplementedError(f"ONNX op {op!r} not implemented in numpy runtime")

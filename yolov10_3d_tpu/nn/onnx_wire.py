@@ -53,6 +53,12 @@ _NP2ONNX = {
     np.dtype(np.uint32): UINT32,
     np.dtype(np.uint64): UINT64,
 }
+try:  # bf16 models are the TPU norm; ml_dtypes ships with jax
+    import ml_dtypes
+
+    _NP2ONNX[np.dtype(ml_dtypes.bfloat16)] = BFLOAT16
+except ImportError:  # pragma: no cover
+    pass
 _ONNX2NP = {v: k for k, v in _NP2ONNX.items()}
 
 
