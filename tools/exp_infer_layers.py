@@ -10,9 +10,9 @@ Usage: python tools/exp_infer_layers.py [B] [--spd]
 """
 
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 
 import jax
 import jax.numpy as jnp
@@ -21,21 +21,13 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.devices()
 
+from _bench_util import rtt, timed  # noqa: E402
+
 from yolov10_3d_tpu.nn.build import build_model  # noqa: E402
 from yolov10_3d_tpu.ops.postprocess import v10_detections  # noqa: E402
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 128
 HW = 640
-
-
-def timed(fn, *args, iters=12):
-    float(fn(*args))
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.min(ts))
 
 
 def build(spd):
@@ -69,19 +61,17 @@ def main():
     x = jnp.asarray(rng.uniform(0, 1, (B, HW, HW, 3)).astype(np.float32)).astype(
         jnp.bfloat16
     )
-    trivial = jax.jit(lambda x: x[0, 0, 0, 0].astype(jnp.float32))
-    t_rtt = timed(trivial, x)
-    print(f"B={B} rtt={t_rtt*1e3:.2f} ms")
+    print(f"B={B} rtt={rtt()*1e3:.2f} ms")
 
     model, spec, variables, = build(spd=False)
     t_base = full_fwd(model, spec, variables, x)
-    print(f"baseline full fwd+decode: {(t_base-t_rtt)*1e3:.2f} ms  "
-          f"{B/(t_base-t_rtt):.1f} img/s")
+    print(f"baseline full fwd+decode: {t_base*1e3:.2f} ms  "
+          f"{B/t_base:.1f} img/s")
 
     model_s, spec_s, variables_s = build(spd=True)
     t_spd = full_fwd(model_s, spec_s, variables_s, x)
-    print(f"spd_stem full fwd+decode: {(t_spd-t_rtt)*1e3:.2f} ms  "
-          f"{B/(t_spd-t_rtt):.1f} img/s")
+    print(f"spd_stem full fwd+decode: {t_spd*1e3:.2f} ms  "
+          f"{B/t_spd:.1f} img/s")
 
     if "--layers" not in sys.argv:
         return
@@ -89,7 +79,7 @@ def main():
     # prefix timing: jit the model truncated after layer k (reuse the same
     # variables — flax only touches the params the traced layers use)
     n_layers = len(spec.layers)
-    prev = t_rtt
+    prev = 0.0
     rows = []
     for k in range(n_layers):
         mod_k = type(model)(
@@ -116,9 +106,9 @@ def main():
 
         t = timed(f, variables, x, iters=8)
         layer = spec.layers[k]
-        rows.append((k, layer.module, (t - prev) * 1e3, (t - t_rtt) * 1e3))
+        rows.append((k, layer.module, (t - prev) * 1e3, t * 1e3))
         print(f"layer {k:2d} {layer.module:>14s}  +{(t-prev)*1e3:7.2f} ms  "
-              f"cum {(t-t_rtt)*1e3:8.2f} ms", flush=True)
+              f"cum {t*1e3:8.2f} ms", flush=True)
         prev = t
 
 
