@@ -28,6 +28,9 @@ def make_kitti_tree(
     with_seg: bool = False,
     seed: int = 0,
     draw_boxes: bool = False,
+    n_objects: int = 3,
+    z_range=(8.0, 40.0),
+    val_all: bool = False,
 ):
     """Synthetic KITTI tree: images + plausible Car labels + calib + split
     files; optional deepseg instance masks (pixel = label row index,
@@ -63,9 +66,9 @@ def make_kitti_tree(
         seg = np.full((375, 1242), 51, np.uint8)
         lines = []
         drawn = []
-        for j in range(3):
+        for j in range(n_objects):
             x = float(rng.uniform(-8, 8))
-            z = float(rng.uniform(8, 40))
+            z = float(rng.uniform(*z_range))
             y = 1.65
             h, w, l = 1.5, 1.65, 3.9
             ry = float(rng.uniform(-math.pi, math.pi))
@@ -108,7 +111,8 @@ def make_kitti_tree(
             )
         ids.append(f"{i:06d}")
     (root / "ImageSets" / "train.txt").write_text("\n".join(ids) + "\n")
-    (root / "ImageSets" / "val.txt").write_text("\n".join(ids[:4]) + "\n")
+    val_ids = ids if val_all else ids[:4]
+    (root / "ImageSets" / "val.txt").write_text("\n".join(val_ids) + "\n")
     yaml_path = root / "kitti_mini.yaml"
     yaml_path.write_text(
         f"path: {root}\ntrain: ImageSets/train.txt\nval: ImageSets/val.txt\n"

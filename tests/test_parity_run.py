@@ -45,3 +45,26 @@ def test_kitti_txt_diff(tmp_path):
     drifted = row.replace("20.00", "22.00")
     (b / "000001.txt").write_text(drifted)
     assert parity_run.diff_kitti_txt(a, b) == 1
+
+
+def test_parity_run_export_pt(tmp_path):
+    """Reverse direction: our trained ckpt -> reference-loadable .pt."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    split = _det_tree(tmp_path, lambda i: "0 0.5 0.5 0.4 0.4\n")
+    data = _yaml(tmp_path, split)
+    _train("yolov10n.yaml", data, tmp_path)
+    ckpt = tmp_path / "run" / "weights" / "best.ckpt"
+
+    import parity_run
+
+    out = tmp_path / "reverse.pt"
+    res = parity_run.main(["export-pt", "--weights", str(ckpt), "--out", str(out)])
+    assert Path(res["out"]).exists()
+    payload = torch.load(res["out"], map_location="cpu", weights_only=False)
+    sd = payload["state_dict"]
+    # dotted reference-style keys incl. BN stats and the frozen DFL arange
+    assert any(k.endswith(".bn.running_mean") for k in sd)
+    assert any(k.endswith(".dfl.conv.weight") for k in sd)
+    assert all("_" not in k.split(".")[0] or k.startswith("model") for k in sd)

@@ -113,9 +113,29 @@ def run_kitti(args) -> dict:
     return res
 
 
+def run_export_pt(args) -> dict:
+    """Reverse direction: our .ckpt -> reference-loadable torch state_dict .pt
+    (utils/torch_export.py; key-exactness pinned by tests/test_torch_export.py).
+    The reference side then runs:
+        from ultralytics import YOLOv10 (or YOLO)
+        m = YOLOv10("<model_yaml>"); import torch
+        m.model.load_state_dict(torch.load("<out>.pt")["state_dict"])
+        m.val(data=<data>)
+    closing the loop: train HERE, validate THERE."""
+    from yolov10_3d_tpu.engine.model import Model
+
+    m = Model(args.weights)
+    out = m.export(format="torch", out=args.out)
+    print(f"wrote {out} (model_yaml={getattr(m, 'model_cfg', None)})")
+    return {"out": out}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     sub = ap.add_subparsers(dest="mode", required=True)
+    pe = sub.add_parser("export-pt", help="our .ckpt -> reference torch .pt")
+    pe.add_argument("--weights", required=True, help="our .ckpt")
+    pe.add_argument("--out", default="model.pt")
     for name in ("coco", "kitti"):
         p = sub.add_parser(name)
         p.add_argument("--weights", required=True, help=".pt (reference) or .ckpt")
@@ -128,6 +148,8 @@ def main(argv=None):
         help="directory of the reference's exported KITTI txt outputs to diff",
     )
     args = ap.parse_args(argv)
+    if args.mode == "export-pt":
+        return run_export_pt(args)
     return run_coco(args) if args.mode == "coco" else run_kitti(args)
 
 

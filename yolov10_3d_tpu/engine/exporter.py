@@ -142,6 +142,21 @@ class Exporter:
             path.write_bytes(blob)
             return str(path)
 
+        if fmt in ("torch", "pt"):
+            # reference-compatible torch weights (utils/torch_export.py):
+            # dotted state_dict + model_yaml; a reference user strict-loads it
+            # into YOLO(<model_yaml>).model (tasks.py:811's state_dict dual)
+            from ..utils.torch_export import export_torch_checkpoint
+
+            path = out or "model.pt"
+            return export_torch_checkpoint(
+                path,
+                jax.device_get(self.variables),
+                model_yaml=self.extra_meta.get("model_yaml"),
+                names=self.extra_meta.get("names"),
+                train_args=self.extra_meta.get("train_args"),
+            )
+
         if fmt == "onnx":
             # In-repo jaxpr->ONNX translator (nn/onnx_export.py) — no onnx
             # package needed. v10/v10-3D/classify heads export the full
@@ -192,7 +207,7 @@ class Exporter:
 
         raise ValueError(
             f"unknown export format {fmt!r} "
-            "(stablehlo, saved_model, ckpt, tf_saved_model, tflite, onnx)"
+            "(stablehlo, saved_model, ckpt, tf_saved_model, tflite, onnx, torch)"
         )
 
 

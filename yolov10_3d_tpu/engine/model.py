@@ -100,6 +100,7 @@ class Model:
         if meta.get("names"):
             self.names = {int(k): v for k, v in meta["names"].items()}
         if meta.get("train_args"):
+            self.ckpt_train_args = dict(meta["train_args"])
             self.overrides.update(
                 {k: v for k, v in meta["train_args"].items() if k in ("imgsz", "max_det")}
             )
@@ -355,7 +356,8 @@ class Model:
         return Exporter(
             self.model, self.spec, self.variables, self._cfg(kwargs),
             meta={"model_yaml": str(getattr(self, "model_cfg", "")),
-                  "names": {int(k): v for k, v in self.names.items()}},
+                  "names": {int(k): v for k, v in self.names.items()},
+                  "train_args": getattr(self, "ckpt_train_args", None)},
         )(fmt=fmt, imgsz=imgsz, out=out, batch=batch)
 
     def add_callback(self, event: str, fn):

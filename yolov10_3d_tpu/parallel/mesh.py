@@ -166,3 +166,64 @@ def make_spatial_eval_step(apply_fn, mesh: Mesh):
         in_shardings=(rep, spatial_batch_sharding(mesh)),
         out_shardings=rep,
     )
+
+
+# ------------------------------------------------------------- tensor parallel
+def get_mesh_tp(dp: int, tp: int) -> Mesh:
+    """2-D (dp, tp) mesh: data parallel x tensor (channel) parallel.
+
+    tp shards every channel-last parameter (conv kernels (kH,kW,I,O) on O, BN
+    vectors on C — uniform because the whole net is NHWC/channel-last) and,
+    by propagation, every activation's channel axis. XLA inserts the
+    all-gathers/reduce-scatters where a conv contracts a sharded input-channel
+    axis — the scaling-book tp recipe, expressed purely as shardings. Useful
+    when one chip can't hold the model/optimizer state (weight memory scales
+    1/tp, FSDP-style) or to shrink per-chip activation footprints for big
+    images."""
+    devs = jax.devices()[: dp * tp]
+    return Mesh(np.array(devs).reshape(dp, tp), ("dp", "tp"))
+
+
+def channel_sharding(mesh: Mesh, tree, axis: str = "tp"):
+    """Sharding tree: last (channel) dim over `axis` when divisible, else
+    replicated (scalars, odd-sized leaves like DFL/anchors)."""
+    n = mesh.shape[axis]
+
+    def rule(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[-1] % n == 0 and x.shape[-1] > 0:
+            return NamedSharding(mesh, P(*([None] * (x.ndim - 1)), axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, tree)
+
+
+def shard_state_channels(state, mesh: Mesh):
+    """Place a TrainState (or any pytree) with channel-sharded leaves."""
+    sh = channel_sharding(mesh, state)
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), state, sh)
+
+
+def make_tp_train_step(train_step, mesh: Mesh, state):
+    """jit the train step over a (dp, tp) mesh: batch dp-sharded, model +
+    optimizer + EMA state channel-sharded over tp (gradients inherit the
+    param shardings, so the optimizer update runs sharded too)."""
+    sh = channel_sharding(mesh, state)
+    return jax.jit(
+        train_step,
+        in_shardings=(sh, None),
+        out_shardings=(sh, NamedSharding(mesh, P())),
+        donate_argnums=(0,),
+    )
+
+
+def make_tp_eval_step(apply_fn, mesh: Mesh, variables):
+    """jit an eval forward with channel-sharded weights and dp-sharded batch;
+    returns (fn, sharded_variables). Outputs are replicated."""
+    sh = channel_sharding(mesh, variables)
+    vars_sharded = jax.tree.map(lambda x, s: jax.device_put(x, s), variables, sh)
+    fn = jax.jit(
+        apply_fn,
+        in_shardings=(sh, NamedSharding(mesh, P("dp"))),
+        out_shardings=NamedSharding(mesh, P()),
+    )
+    return fn, vars_sharded
