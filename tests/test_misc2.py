@@ -171,3 +171,22 @@ def test_graft_backbone(tmp_path):
     # grafted model still runs
     out = jax.jit(lambda v, x: model3d.apply(v, x, train=False))(grafted, x)
     assert "one2one" in out
+
+
+def test_write_csv_schema_growth(tmp_path):
+    """Val epochs add metrics/* columns after the header exists; rows must
+    stay aligned (3D overfit probe found AP landing in unlabeled columns)."""
+    import csv
+
+    from yolov10_3d_tpu.engine.trainer import DetectionTrainer
+
+    p = tmp_path / "results.csv"
+    DetectionTrainer._write_csv(p, {"epoch": 0, "loss": 1.5})
+    DetectionTrainer._write_csv(p, {"epoch": 1, "loss": 1.2, "metrics/3D": 0.9})
+    DetectionTrainer._write_csv(p, {"epoch": 2, "loss": 1.0})
+    with open(p, newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert [r["epoch"] for r in rows] == ["0", "1", "2"]
+    assert rows[1]["metrics/3D"] == "0.9"
+    assert rows[0]["metrics/3D"] == "" and rows[2]["metrics/3D"] == ""
+    assert rows[2]["loss"] == "1.0"

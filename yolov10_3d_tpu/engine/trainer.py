@@ -387,9 +387,30 @@ class DetectionTrainer:
 
     @staticmethod
     def _write_csv(path: Path, row: Dict):
-        exists = path.exists()
-        with open(path, "a", newline="") as f:
+        """Append a row, growing the header when new columns appear.
+
+        Validation epochs add metrics/* columns that pure-train epochs lack;
+        with val_period > 1 the first row's header is missing them and a
+        fixed-fieldnames append silently misaligns every val row (found by
+        the 3D overfit probe: its AP column landed unlabeled). On schema
+        growth, rewrite the file under the union header."""
+        if path.exists():
+            with open(path, newline="") as f:
+                rows = list(csv.DictReader(f))
+            fields = list(rows[0].keys()) if rows else []
+            new = [k for k in row if k not in fields]
+            if new:
+                fields = fields + new
+                with open(path, "w", newline="") as f:
+                    w = csv.DictWriter(f, fieldnames=fields, restval="")
+                    w.writeheader()
+                    w.writerows(rows)
+                    w.writerow(row)
+                return
+            with open(path, "a", newline="") as f:
+                csv.DictWriter(f, fieldnames=fields, restval="").writerow(row)
+            return
+        with open(path, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=list(row.keys()))
-            if not exists:
-                w.writeheader()
+            w.writeheader()
             w.writerow(row)
