@@ -99,3 +99,25 @@ def test_export_torch_checkpoint_file(tmp_path):
     # and the reference oracle model can strict-load it
     ref = reference_model("yolov10n")
     ref.load_state_dict({k: v for k, v in sd.items()}, strict=True)
+
+
+def test_exported_pt_roundtrips_through_facade(tmp_path):
+    """Our torch .pt loads back through Model/AutoBackend with identical
+    forward outputs (train here -> .pt -> serve anywhere, incl. back here)."""
+    pytest.importorskip("torch")
+    from yolov10_3d_tpu.engine.model import Model
+
+    model, spec = build_model("yolov10_3d_tpu/cfg/models/v10/yolov10n.yaml")
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    p = export_torch_checkpoint(
+        str(tmp_path / "rt.pt"), variables,
+        model_yaml="yolov10n.yaml", names={i: str(i) for i in range(80)},
+    )
+    m2 = Model(p)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    ref = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)["one2one"]
+    out = jax.jit(lambda v, x: m2.model.apply(v, x, train=False))(m2.variables, x)["one2one"]
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(o), rtol=1e-5, atol=1e-6)

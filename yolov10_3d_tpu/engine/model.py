@@ -120,6 +120,23 @@ class Model:
                 f"loading {path} requires the original ultralytics classes on "
                 f"sys.path (pickled nn.Module checkpoints): {e}"
             ) from e
+        if isinstance(ckpt, dict) and "state_dict" in ckpt and ckpt.get("model_yaml"):
+            # our own reverse export (utils/torch_export.py): plain
+            # state_dict + model_yaml, no pickled classes — round-trips
+            self._new(Path(ckpt["model_yaml"]).stem)
+            sd = {
+                k: v.detach().float().cpu().numpy()
+                for k, v in ckpt["state_dict"].items()
+                # dfl arange is decode-closed-form here; o2o_heads.* are
+                # v10Detect3d alias keys of the named branches
+                if "dfl" not in k and ".o2o_heads." not in k
+            }
+            self.variables = convert_torch_state_dict(sd, self.variables, strict=True)
+            if ckpt.get("names"):
+                self.names = {int(k): v for k, v in ckpt["names"].items()}
+            if ckpt.get("train_args"):
+                self.ckpt_train_args = dict(ckpt["train_args"])
+            return
         module = ckpt.get("ema") or ckpt.get("model") or ckpt
         yaml_d = getattr(module, "yaml", None)
         if yaml_d is None:
