@@ -212,11 +212,14 @@ def test_benchmark_formats_table(tmp_path):
     m = YOLOv10("yolov10n.yaml")
     rows = benchmark_formats(m, imgsz=64, out_dir=str(tmp_path))
     by_fmt = {r["format"]: r for r in rows}
-    assert set(by_fmt) == {"ckpt", "stablehlo", "tf_saved_model", "tflite"}
+    assert set(by_fmt) == {
+        "ckpt", "stablehlo", "tf_saved_model", "tflite", "pb", "onnx"
+    }
     for fmt, r in by_fmt.items():
         assert r["status"] == "✅", (fmt, r.get("error"))
         assert r["latency_ms"] > 0 and r["size_mb"] > 0
     assert by_fmt["stablehlo"]["match"] and by_fmt["tf_saved_model"]["match"]
+    assert by_fmt["pb"]["match"] and by_fmt["onnx"]["match"]
 
 
 def test_profile_models_and_sigma_clipping():

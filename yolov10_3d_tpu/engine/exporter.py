@@ -108,7 +108,7 @@ class Exporter:
             )
             return path
 
-        if fmt in ("tf_saved_model", "tflite"):
+        if fmt in ("tf_saved_model", "tflite", "pb"):
             # reference exporter.py TF formats, via jax2tf native serialization
             try:
                 import tensorflow as tf
@@ -117,7 +117,13 @@ class Exporter:
                 raise RuntimeError(f"{fmt} export requires tensorflow: {e}")
 
             tf_fn = jax2tf.convert(
-                lambda x: fwd(self.variables, x), native_serialization=True
+                lambda x: fwd(self.variables, x), native_serialization=True,
+                # serialize for BOTH platforms: without this the artifact is
+                # locked to the platform jax happens to be running on — a
+                # .tflite/.pb exported from a TPU session would refuse to run
+                # on the CPU devices those formats exist for (caught by the
+                # /verify drive under JAX_PLATFORMS=axon)
+                native_serialization_platforms=("cpu", "tpu"),
             )
             module = tf.Module()
             module.f = tf.function(
@@ -129,6 +135,31 @@ class Exporter:
             if fmt == "tf_saved_model":
                 tf.saved_model.save(module, str(out_dir))
                 return str(out_dir)
+            if fmt == "pb":
+                # frozen GraphDef (reference exporter.py export_pb: a
+                # variable-free single-file graph for tf.import_graph_def
+                # consumers); jax2tf graphs are already constant-folded, the
+                # v2 freezer just inlines captures and serializes
+                from tensorflow.python.framework.convert_to_constants import (
+                    convert_variables_to_constants_v2,
+                )
+
+                frozen = convert_variables_to_constants_v2(
+                    module.f.get_concrete_function()
+                )
+                gd = frozen.graph.as_graph_def()
+                path = Path(out or "model.pb")
+                path.parent.mkdir(parents=True, exist_ok=True)
+                path.write_bytes(gd.SerializeToString())
+                # sidecar with the tensor endpoint names (GraphDef itself has
+                # no signature); AutoBackend reads it back
+                meta = {
+                    "inputs": [t.name for t in frozen.inputs],
+                    "outputs": [t.name for t in frozen.outputs],
+                    "input_shape": list(x.shape),
+                }
+                Path(str(path) + ".json").write_text(json.dumps(meta, indent=1))
+                return str(path)
             converter = tf.lite.TFLiteConverter.from_concrete_functions(
                 [module.f.get_concrete_function()], module
             )
@@ -207,7 +238,7 @@ class Exporter:
 
         raise ValueError(
             f"unknown export format {fmt!r} "
-            "(stablehlo, saved_model, ckpt, tf_saved_model, tflite, onnx, torch)"
+            "(stablehlo, saved_model, ckpt, tf_saved_model, tflite, pb, onnx, torch)"
         )
 
 

@@ -125,6 +125,37 @@ class AutoBackend:
             self.names = {}
             self.max_det = max_det
             self.input_shape = tuple(int(d) for d in inp["shape"])
+        elif self.kind == "pb":
+            # frozen GraphDef (reference autobackend.py pb branch loads via
+            # tf.import_graph_def + wrap_function; endpoint names come from
+            # the Exporter's .pb.json sidecar)
+            import json
+
+            import tensorflow as tf
+
+            gd = tf.compat.v1.GraphDef()
+            gd.ParseFromString(Path(self.path).read_bytes())
+            meta = json.loads(Path(self.path + ".json").read_text())
+
+            def _import():
+                tf.compat.v1.import_graph_def(gd, name="")
+
+            wrapped = tf.compat.v1.wrap_function(_import, [])
+            fn = wrapped.prune(
+                feeds=[wrapped.graph.get_tensor_by_name(n) for n in meta["inputs"]],
+                fetches=[wrapped.graph.get_tensor_by_name(n) for n in meta["outputs"]],
+            )
+
+            def call(x):
+                out = fn(tf.constant(np.asarray(x, np.float32)))
+                return tuple(o.numpy() for o in out)
+
+            self._tf = wrapped  # keep alive
+            self._call = call
+            self.nc = None
+            self.names = {}
+            self.max_det = max_det
+            self.input_shape = tuple(int(d) for d in meta["input_shape"])
         elif self.kind == "onnx":
             # in-repo numpy ONNX runtime (nn/onnx_runtime.py) — loads the
             # Exporter's .onnx artifact without onnxruntime (reference
@@ -165,7 +196,7 @@ class AutoBackend:
         else:
             raise ValueError(
                 f"unsupported weights format {self.kind!r} (supported: .ckpt, "
-                ".pt, stablehlo export dir, TF SavedModel dir, .tflite, .onnx)"
+                ".pt, stablehlo export dir, TF SavedModel dir, .tflite, .pb, .onnx)"
             )
 
     def forward(self, imgs) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

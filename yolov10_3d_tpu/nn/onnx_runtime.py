@@ -189,7 +189,7 @@ class OnnxRuntime:
         }
         if op in _UNARY:
             out = _UNARY[op](ins[0])
-            if op not in ("Not", "IsNaN", "Isinf"):
+            if op not in ("Not", "IsNaN", "IsInf"):
                 out = np.asarray(out, ins[0].dtype)
             return [out]
         if op == "Erf":

@@ -74,7 +74,7 @@ def _dir_size_mb(path) -> float:
 def benchmark_formats(
     facade,
     imgsz: int = 64,
-    formats=("ckpt", "stablehlo", "tf_saved_model", "tflite"),
+    formats=("ckpt", "stablehlo", "tf_saved_model", "tflite", "pb", "onnx"),
     out_dir: str = "runs/benchmark",
     iters: int = 5,
 ):
@@ -103,7 +103,11 @@ def benchmark_formats(
     for fmt in formats:
         row = {"format": fmt, "status": "❌", "size_mb": None, "latency_ms": None, "match": False}
         try:
-            dest = out / (f"model_{fmt}" if fmt != "tflite" else "model.tflite")
+            # suffix-bearing formats must keep their extension: AutoBackend
+            # dispatches on it
+            dest = out / (
+                f"model.{fmt}" if fmt in ("tflite", "pb", "onnx") else f"model_{fmt}"
+            )
             if fmt == "ckpt":
                 from .checkpoint import save_checkpoint
 
