@@ -166,7 +166,13 @@ class Detection3DTrainer(DetectionTrainer):
             img = np.asarray(b["img"])
             if img.dtype == np.uint8:  # datasets emit uint8 (H2D path); the
                 img = img.astype(np.float32) / 255.0  # teacher contract is fp32 [0,1]
-            b["teacher_embeddings"] = np.asarray(self.teacher(img))
+            out = self.teacher(img)
+            # two teacher contracts coexist: embeddings-only, or the
+            # reference DinoDepther's (depth_maps, embeddings) tuple
+            # (utils/dino.py forward; models/dino.py make_dino_teacher)
+            if isinstance(out, (tuple, list)):
+                out = out[-1]
+            b["teacher_embeddings"] = np.asarray(out)
         return b
 
     def make_loss(self, spec):
