@@ -164,6 +164,13 @@ def mosaic4(
     labels = np.concatenate(out_labels) if out_labels else np.zeros((0, 5), np.float32)
     labels[:, 1:] = labels[:, 1:].clip(0, [sw * 2, sh * 2, sw * 2, sh * 2])
     points = np.concatenate(out_points) if out_points else None
+    if points is not None and len(points) != len(labels):
+        # a mix of points-carrying and points-less tiles would silently
+        # attach wrong polygons/keypoints downstream
+        raise ValueError(
+            f"mosaic4: {len(labels)} label rows vs {len(points)} point rows — "
+            "every tile of a points task must carry a points array"
+        )
     if has_points and points is None:
         # all tiles empty: keep the task's (P, D) trailing dims (a (0,1,2)
         # placeholder crashed pose formatting and mixup concat — review fix)
@@ -240,6 +247,11 @@ def mosaic9(
     canvas = canvas[yc : yc + 2 * sh, xc : xc + 2 * sw]
     labels = np.concatenate(out_labels) if out_labels else np.zeros((0, 5), np.float32)
     points = np.concatenate(out_points) if out_points else None
+    if points is not None and len(points) != len(labels):
+        raise ValueError(
+            f"mosaic9: {len(labels)} label rows vs {len(points)} point rows — "
+            "every tile of a points task must carry a points array"
+        )
     if has_points and points is None:
         points = np.zeros((0,) + _points_tail(items), np.float32)
     if len(labels):
