@@ -144,7 +144,13 @@ class ExplorerDashboard:
                         return self._send(404, b"not found", "text/plain")
                     ctype = _MIME.get(Path(p).suffix.lower(), "application/octet-stream")
                     return self._send(200, Path(p).read_bytes(), ctype)
-                out = dash._api(u.path, q)
+                try:
+                    out = dash._api(u.path, q)
+                except Exception as e:  # bad int params, out-of-range idx...
+                    body = json.dumps(
+                        {"rows": [], "error": f"{type(e).__name__}: {e}"}
+                    ).encode()
+                    return self._send(400, body, "application/json")
                 if out is None:
                     return self._send(404, b"not found", "text/plain")
                 return self._send(200, json.dumps(out).encode(), "application/json")
