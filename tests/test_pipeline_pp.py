@@ -62,6 +62,38 @@ def test_pp_matches_sequential(stages, micro):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_pp_gradients_match_sequential():
+    """The pipeline is trainable: grads through shard_map + ppermute + scan
+    equal the sequential encoder's block grads (ppermute's VJP is the
+    reverse permutation; scan transposes to the reverse-time scan)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual multi-device CPU")
+    enc = ImageEncoderViT(**ENC)
+    v = _init(enc)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32))
+
+    g_ref = jax.jit(jax.grad(lambda vv: enc.apply(vv, x).sum()))(v)["params"]
+
+    mesh = get_mesh_pp(4)
+    stage_params, rest = prepare_pp_params(enc, v, mesh)
+    fn = make_pp_encoder(enc, mesh, n_microbatches=4)
+    g_pp = jax.grad(lambda sp: fn(sp, rest, x).sum())(stage_params)
+
+    S, k = 4, ENC["depth"] // 4
+    for j in range(k):
+        got_j = jax.tree.map(np.asarray, g_pp[j])
+        for s in range(S):
+            want = jax.tree.map(np.asarray, g_ref[f"blocks_{s * k + j}"])
+            got = jax.tree.map(lambda a: a[s], got_j)
+            flat_w = jax.tree_util.tree_leaves_with_path(want)
+            flat_g = jax.tree_util.tree_leaves_with_path(got)
+            for (pw, w), (pg, g) in zip(flat_w, flat_g):
+                assert pw == pg
+                np.testing.assert_allclose(g, w, rtol=5e-4, atol=5e-5,
+                                           err_msg=f"stage {s} block {j} {pw}")
+
+
 def test_pp_single_stage_degenerates():
     """S=1 mesh: the pipeline is just microbatched sequential execution."""
     enc = ImageEncoderViT(**ENC)
