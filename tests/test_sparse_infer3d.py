@@ -1,0 +1,109 @@
+"""Sparse top-k patch inference for the 3D head (reference head.py:663-716
+``select_candidates``/``extract_patches``/``inference_forward_feat``).
+
+The TPU redesign (heads3d.py ``_sparse_forward_feat``) must match the dense
+forward at every candidate location (same values up to f32 accumulation
+order), produce zeros off-candidate exactly like the reference's
+``torch.zeros`` scatter target, and yield identical final detections through
+the shared decode + top-k epilogue.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yolov10_3d_tpu.nn.build import build_model
+from yolov10_3d_tpu.ops.postprocess import decode_detect3d, v10_3d_postprocess
+
+CFG = "yolov10_3d_tpu/cfg/models/v10-3D/yolov10n_3D.yaml"
+# P3 map 8x12=96 anchors > max_det=50 (true sparse selection); P4 24 and
+# P5 6 anchors < 50 (K clamps to H*W -> sparse == dense everywhere there)
+HW = (64, 96)
+
+
+@pytest.fixture(scope="module")
+def outputs():
+    dense, spec = build_model(CFG, fast_eval=True)
+    sparse, _ = build_model(CFG, fast_eval=True, sparse_eval=True)
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(2, *HW, 3)), jnp.float32
+    )
+    v = jax.jit(dense.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x, train=True
+    )
+    outd = jax.jit(lambda v, x: dense.apply(v, x, train=False))(v, x)
+    outs = jax.jit(lambda v, x: sparse.apply(v, x, train=False))(v, x)
+    return spec, outd["one2one"], outs["one2one"]
+
+
+def test_param_tree_identical():
+    """sparse_eval must not change the parameter tree (same checkpoints)."""
+    dense, _ = build_model(CFG, fast_eval=True)
+    sparse, _ = build_model(CFG, fast_eval=True, sparse_eval=True)
+    x = jnp.zeros((1, *HW, 3), jnp.float32)
+    vd = jax.eval_shape(
+        lambda: dense.init(jax.random.PRNGKey(0), x, train=True)
+    )
+    vs = jax.eval_shape(
+        lambda: sparse.init(jax.random.PRNGKey(0), x, train=True)
+    )
+    assert jax.tree_util.tree_structure(vd) == jax.tree_util.tree_structure(vs)
+    for a, b in zip(jax.tree_util.tree_leaves(vd), jax.tree_util.tree_leaves(vs)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+
+def test_values_match_dense_at_candidates(outputs):
+    spec, fd, fs = outputs
+    nc = spec.nc
+    saw_partial = saw_full = False
+    for a, b in zip(fd, fs):
+        a, b = np.asarray(a), np.asarray(b)
+        # the cls branch runs dense in both paths
+        np.testing.assert_array_equal(a[..., :nc], b[..., :nc])
+        cand = np.abs(b[..., nc:]).sum(-1) > 0
+        frac = cand.mean()
+        saw_partial |= frac < 0.999
+        saw_full |= frac == 1.0
+        # candidate locations: equal up to f32 accumulation order (patch
+        # conv tiles sums differently than the dense conv)
+        diff = np.abs(a[..., nc:] - b[..., nc:])[cand]
+        assert diff.max() < 2e-3, diff.max()
+    assert saw_partial and saw_full  # both regimes exercised (see HW note)
+
+
+def test_detections_identical(outputs):
+    """Global top-k can only pick per-scale top-k anchors (monotone max-class
+    score), so sparse and dense postprocess to the same detections."""
+    spec, fd, fs = outputs
+    pd = decode_detect3d(fd, spec.strides, spec.nc)
+    ps = decode_detect3d(fs, spec.strides, spec.nc)
+    ra, sa, la = v10_3d_postprocess(pd, 50, spec.nc)
+    rb, sb, lb = v10_3d_postprocess(ps, 50, spec.nc)
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+    assert np.abs(np.asarray(ra) - np.asarray(rb)).max() < 5e-3
+
+
+def test_envelope_fallback_predecessors():
+    """Configs outside the sparse envelope (predecessor chaining needs dense
+    neighbor outputs, mirroring the reference's unsupported cases) silently
+    run the dense path: outputs are exactly the dense forward's."""
+    import yaml as _yaml
+
+    cfg = _yaml.safe_load(open(CFG))
+    cfg["use_predecessors"] = True
+    dense, spec = build_model(cfg, scale="n", fast_eval=True)
+    sparse, _ = build_model(
+        dict(cfg, **{}), scale="n", fast_eval=True, sparse_eval=True
+    )
+    x = jnp.asarray(
+        np.random.default_rng(1).uniform(size=(1, *HW, 3)), jnp.float32
+    )
+    v = jax.jit(dense.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x, train=True
+    )
+    outd = jax.jit(lambda v, x: dense.apply(v, x, train=False))(v, x)
+    outs = jax.jit(lambda v, x: sparse.apply(v, x, train=False))(v, x)
+    for a, b in zip(outd["one2one"], outs["one2one"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

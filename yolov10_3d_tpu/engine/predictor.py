@@ -158,6 +158,24 @@ class Predictor:
         self.task3d = self.task == "detect3d"
         # v10 heads are NMS-free (dict output); Detect/WorldDetect need NMS
         self.nms_free = spec.head_module in ("v10Detect",)
+        # serving twin: same spec + identical param tree, but skip the
+        # train-only one2many branches at eval and (3D) run the o2o
+        # regression branches on top-max_det patches only — the sparse
+        # inference the reference uses at eval (head.py:694); detections
+        # provably identical, measured +6-8% end-to-end at 384x1280
+        # (tools/exp_sparse_infer3d.py; the patch convs' tiny 5x5 spatial
+        # shapes cap the realized win well below the FLOP ratio)
+        from ..nn.build import YOLOModel
+
+        if spec.head_module in ("v10Detect", "v10Detect3d") and isinstance(
+            model, YOLOModel
+        ):
+            self.model = YOLOModel(
+                spec=spec,
+                fast_eval=True,
+                sparse_eval=spec.head_module == "v10Detect3d",
+                spd_stem=model.spd_stem,
+            )
 
     @functools.lru_cache(maxsize=8)
     def _forward_fn(self, max_det: int):

@@ -462,12 +462,13 @@ def _build_module(spec: LayerSpec, name: str, extras: Dict[str, Any]):
             sorted(
                 (k, v)
                 for k, v in extras.items()
-                if k not in ("fast_eval", "spd_stem")
+                if k not in ("fast_eval", "spd_stem", "sparse_eval")
             )
         )
         return V10Detect3d(
             nc=a[0], ch=a[1], cfg=head_cfg,
-            eval_one2many=not extras.get("fast_eval", False), name=name,
+            eval_one2many=not extras.get("fast_eval", False),
+            sparse_eval=bool(extras.get("sparse_eval", False)), name=name,
         )
     raise ValueError(spec.module)
 
@@ -501,6 +502,7 @@ class YOLOModel(nn.Module):
     spec: ModelSpec
     fast_eval: bool = False  # serving: skip train-only head branches at eval
     spd_stem: bool = False  # serving: exact space-to-depth stem rewrite
+    sparse_eval: bool = False  # 3D head: o2o regression on top-k patches only
     # remat: wrap each backbone/neck block in jax.checkpoint — activations
     # inside a block are recomputed in the backward instead of saved, cutting
     # peak HBM from sum-of-all-intermediates to sum-of-block-I/O. Unlocks
@@ -512,6 +514,7 @@ class YOLOModel(nn.Module):
         extras["strides"] = self.spec.strides
         extras["fast_eval"] = self.fast_eval
         extras["spd_stem"] = self.spd_stem
+        extras["sparse_eval"] = self.sparse_eval
         # n>1 layers are torch nn.Sequential(model.i.0..n-1); flatten to
         # model_{i}_{j} names for converter parity
         self.layers = [
@@ -592,9 +595,11 @@ def build_model(
     fast_eval: bool = False,
     spd_stem: bool = False,
     remat: bool = False,
+    sparse_eval: bool = False,
 ) -> Tuple[YOLOModel, ModelSpec]:
     spec = parse_model_yaml(cfg, scale=scale, nc=nc)
     return (
-        YOLOModel(spec=spec, fast_eval=fast_eval, spd_stem=spd_stem, remat=remat),
+        YOLOModel(spec=spec, fast_eval=fast_eval, spd_stem=spd_stem, remat=remat,
+                  sparse_eval=sparse_eval),
         spec,
     )

@@ -7,9 +7,21 @@ one-to-many (o2m) sets for consistent dual assignment.
 TPU design note: the reference's eval path runs 7 regression heads only on
 sparse top-50 patches (head.py:694 ``inference_forward_feat``). Patch conv with
 zero padding equals the dense padded conv at every location, so the dense
-forward is numerically identical; dense is the XLA-regular choice and the
+forward is numerically identical; dense is the XLA-regular default and the
 top-k select happens in the fused decode epilogue instead (SURVEY.md §7 hard
-part 5).
+part 5). ``sparse_eval=True`` additionally ships a static-shape TPU redesign
+of the sparse path (``_sparse_forward_feat``): the regression branches carry
+~7/8 of the head's ~106 GFLOP/img, so serving skips them everywhere except
+the top-``max_det`` candidate patches — one gather in, one one-hot-einsum
+scatter out, every shape static. Measured +6-8% end-to-end at 384x1280
+(tools/exp_sparse_infer3d.py): the (B*K, 5, 5, C) patch convs' tiny spatial
+shapes run far below MXU efficiency, capping the realized win well below
+the FLOP ratio. Detections are provably identical to dense:
+patch convs reproduce dense values exactly at candidate centers (the patch
+covers the full receptive field, and dense zero padding equals patch zero
+padding at image borders), and the final top-k can only select candidate
+anchors (an anchor in the global top-``max_det`` by max-class score is
+necessarily in its own scale's top-``max_det`` by the same monotone score).
 """
 
 from __future__ import annotations
@@ -64,6 +76,7 @@ class V10Detect3d(nn.Module):
     cfg: Tuple[Tuple[str, object], ...] = ()
     max_det: int = 50
     eval_one2many: bool = True  # serving mode skips o2m + embeddings at eval
+    sparse_eval: bool = False  # o2o regression branches on top-k patches only
 
     def setup(self):
         cfg = dict(self.cfg)
@@ -181,11 +194,80 @@ class V10Detect3d(nn.Module):
             embs.append(emb)
         return ys, embs
 
+    def _sparse_forward_feat(self, xs, heads, train):
+        """Static-shape redesign of the reference's sparse top-k patch
+        inference (head.py:663-716 ``select_candidates``/``extract_patches``/
+        ``inference_forward_feat``).
+
+        Per scale: dense cls branch -> top-``max_det`` anchors by max-class
+        logit (matching the reference's raw-score ``torch.max`` selection) ->
+        gather one (2p+1)^2 patch per candidate (p = k1//2 + k2//2, the
+        branch receptive radius) from the pad-p feature map -> run the 7
+        regression branches UNCHANGED (SAME padding) on the (B*K, P, P, C)
+        patch batch and keep the center pixel -> one-hot-einsum scatter into
+        zero maps. The center pixel after two SAME k3 convs on a 5x5 patch
+        only consumes the exact 3x3 interior of the first conv's output, so
+        values equal the dense forward bit-for-bit at candidate locations;
+        everything off-candidate is zero, exactly like the reference's
+        ``torch.zeros`` scatter target. Gather/scatter are row-wise on the
+        major axis (channel-contiguous), the known-fast pattern here — no
+        minor-axis gathers (PARITY.md round-2 one-hot-contraction notes).
+        """
+        names = list(self.output_channels.keys())
+        pad = (self.k1 // 2) + (self.k2 // 2)
+        P = 2 * pad + 1
+        ys = []
+        for i in range(self.nl):
+            x = xs[i]
+            B, H, W, C = x.shape
+            cls_map = self._run(heads[0][i], x, train)  # dense: drives top-k
+            K = min(self.max_det, H * W)
+            scores = cls_map.max(axis=-1).reshape(B, H * W)
+            _, top_idx = jax.lax.top_k(scores, K)  # (B, K)
+            yi, xi = top_idx // W, top_idx % W
+            xpad = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+            Wp = W + 2 * pad
+            # padded-coords window rows/cols: center (yi+pad) + d - pad = yi + d
+            d = jnp.arange(P)
+            rows = yi[:, :, None, None] + d[None, None, :, None]  # (B,K,P,1)
+            cols = xi[:, :, None, None] + d[None, None, None, :]  # (B,K,1,P)
+            flat = (rows * Wp + cols).reshape(B, K * P * P, 1)
+            patches = jnp.take_along_axis(xpad.reshape(B, -1, C), flat, axis=1)
+            patches = patches.reshape(B * K, P, P, C)
+            reg = jnp.concatenate(
+                [
+                    self._run(heads[j][i], patches, train)[:, pad, pad, :]
+                    .reshape(B, K, -1)
+                    for j in range(1, len(names))
+                ],
+                axis=-1,
+            )  # (B, K, no - nc)
+            # scatter: top_k indices are distinct, so the one-hot sum is exact
+            onehot = jax.nn.one_hot(top_idx, H * W, dtype=reg.dtype)
+            dense = jnp.einsum("bkl,bkc->blc", onehot, reg).reshape(
+                B, H, W, reg.shape[-1]
+            )
+            ys.append(jnp.concatenate([cls_map, dense], axis=-1))
+        # embeddings are a train/distill-only surface (reference eval returns
+        # o2o_embs=None, head.py:817)
+        return ys, [None] * self.nl
+
     def __call__(self, xs: Sequence[jax.Array], train: bool = False) -> Dict[str, object]:
         xs = list(xs[: self.nl])
         o2o_heads = [self.cls, self.o2d, self.s2d, self.o3d, self.s3d, self.hd, self.dep, self.dep_un]
         xs_det = [jax.lax.stop_gradient(x) for x in xs]
-        one2one, o2o_embs = self._forward_feat(xs_det, o2o_heads, train)
+        # sparse envelope mirrors the reference's (predecessor chaining and
+        # the shared common conv need neighborhood outputs; deform offsets
+        # can point outside the patch) — shipped 3D configs are all inside it
+        use_sparse = (
+            self.sparse_eval
+            and not train
+            and not self.use_predecessors
+            and not self.common_head
+            and not self.deform
+        )
+        fwd = self._sparse_forward_feat if use_sparse else self._forward_feat
+        one2one, o2o_embs = fwd(xs_det, o2o_heads, train)
         if not train and not self.eval_one2many:
             return {"one2one": one2one, "o2o_embs": o2o_embs}
         one2many, o2m_embs = self._forward_feat(xs, self.o2m_heads, train)
