@@ -17,9 +17,11 @@ from yolov10_3d_tpu.nn.build import build_model
 from yolov10_3d_tpu.ops.postprocess import decode_detect3d, v10_3d_postprocess
 
 CFG = "yolov10_3d_tpu/cfg/models/v10-3D/yolov10n_3D.yaml"
-# P3 map 8x12=96 anchors > max_det=50 (true sparse selection); P4 24 and
-# P5 6 anchors < 50 (K clamps to H*W -> sparse == dense everywhere there)
-HW = (64, 96)
+# crossover: a scale runs sparse iff 2*K*k2^2 < H*W (patch path must beat
+# dense by ~2x in FLOPs to cover its gather/scatter overhead, measured in
+# tools/exp_sparse_profile.py). P3 16x76=1216 > 900 -> true sparse selection
+# (zeros off-candidate); P4 304 and P5 76 -> dense fallback (all real)
+HW = (128, 608)
 
 
 @pytest.fixture(scope="module")
@@ -65,8 +67,8 @@ def test_values_match_dense_at_candidates(outputs):
         frac = cand.mean()
         saw_partial |= frac < 0.999
         saw_full |= frac == 1.0
-        # candidate locations: equal up to f32 accumulation order (patch
-        # conv tiles sums differently than the dense conv)
+        # candidate locations: equal up to f32 reassociation (im2col matmul
+        # tiling + BN folded to a*x+b differ from the dense conv's order)
         diff = np.abs(a[..., nc:] - b[..., nc:])[cand]
         assert diff.max() < 2e-3, diff.max()
     assert saw_partial and saw_full  # both regimes exercised (see HW note)
@@ -83,6 +85,24 @@ def test_detections_identical(outputs):
     np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
     np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
     assert np.abs(np.asarray(ra) - np.asarray(rb)).max() < 5e-3
+
+
+def test_facades_respect_sparse_candidate_envelope():
+    """Decode max_det above the head's per-scale candidate count (SPARSE_K)
+    could select anchors whose sparse regression is zero; the predictor must
+    only enable sparse_eval inside the envelope."""
+    from yolov10_3d_tpu.cfg import get_cfg
+    from yolov10_3d_tpu.engine.predictor import Predictor
+
+    model, spec = build_model(CFG)
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    v = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x, train=False
+    )
+    p_in = Predictor(model, spec, v, get_cfg(overrides={"max_det": 50}))
+    p_out = Predictor(model, spec, v, get_cfg(overrides={"max_det": 100}))
+    assert p_in.model.sparse_eval and not p_out.model.sparse_eval
+    assert p_out.model.fast_eval  # o2m still skipped outside the envelope
 
 
 def test_envelope_fallback_predecessors():

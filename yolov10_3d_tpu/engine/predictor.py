@@ -162,10 +162,10 @@ class Predictor:
         # train-only one2many branches at eval and (3D) run the o2o
         # regression branches on top-max_det patches only — the sparse
         # inference the reference uses at eval (head.py:694); detections
-        # provably identical, measured +6-8% end-to-end at 384x1280
-        # (tools/exp_sparse_infer3d.py; the patch convs' tiny 5x5 spatial
-        # shapes cap the realized win well below the FLOP ratio)
+        # provably identical, measured +22-27% end-to-end at 384x1280
+        # (tools/exp_sparse_infer3d.py: 956 -> 1167 img/s at B=64)
         from ..nn.build import YOLOModel
+        from ..nn.heads3d import SPARSE_K
 
         if spec.head_module in ("v10Detect", "v10Detect3d") and isinstance(
             model, YOLOModel
@@ -173,7 +173,10 @@ class Predictor:
             self.model = YOLOModel(
                 spec=spec,
                 fast_eval=True,
-                sparse_eval=spec.head_module == "v10Detect3d",
+                # sparse is only exact while the decode top-k stays within the
+                # head's per-scale candidate set (off-candidate regression=0)
+                sparse_eval=spec.head_module == "v10Detect3d"
+                and int(getattr(args, "max_det", 300) or 300) <= SPARSE_K,
                 spd_stem=model.spd_stem,
             )
 

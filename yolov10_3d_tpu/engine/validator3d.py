@@ -91,11 +91,28 @@ class Detection3DValidator:
     @functools.lru_cache(maxsize=4)
     def _forward_fn(self, max_det: int, with_o2m: bool = False):
         spec = self.spec
+        model = self.model
+        from ..nn.build import YOLOModel
+        from ..nn.heads3d import SPARSE_K
+
+        if (
+            not with_o2m  # o2m depth-KDE needs the one2many maps
+            and isinstance(model, YOLOModel)
+            and spec.head_module == "v10Detect3d"
+            and max_det <= SPARSE_K  # off-candidate sparse regression is zero
+        ):
+            # serving twin (same param tree): skip o2m branches, sparse
+            # top-k regression — identical detections, measured +22% e2e
+            # at 384x1280 (nn/heads3d.py design note)
+            model = YOLOModel(
+                spec=spec, fast_eval=True, sparse_eval=True,
+                spd_stem=model.spd_stem,
+            )
 
         @jax.jit
         def fwd(variables, x):
             x = x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
-            out = self.model.apply(variables, x, train=False)
+            out = model.apply(variables, x, train=False)
             feats = out["one2one"]
             nl = len(feats)
             preds = decode_detect3d(feats, spec.strides[:nl], spec.nc)

@@ -13,10 +13,11 @@ part 5). ``sparse_eval=True`` additionally ships a static-shape TPU redesign
 of the sparse path (``_sparse_forward_feat``): the regression branches carry
 ~7/8 of the head's ~106 GFLOP/img, so serving skips them everywhere except
 the top-``max_det`` candidate patches — one gather in, one one-hot-einsum
-scatter out, every shape static. Measured +6-8% end-to-end at 384x1280
-(tools/exp_sparse_infer3d.py): the (B*K, 5, 5, C) patch convs' tiny spatial
-shapes run far below MXU efficiency, capping the realized win well below
-the FLOP ratio. Detections are provably identical to dense:
+scatter out, every shape static. Measured +22-27% end-to-end at 384x1280
+(tools/exp_sparse_infer3d.py: 956 -> 1167 img/s at B=64); the remaining gap
+to the FLOP ratio is the backbone+neck+cls floor (~48 ms of the 67 ms dense
+batch — per-op attribution in tools/exp_sparse_profile.py), not the patch
+machinery (~7 ms). Detections are provably identical to dense:
 patch convs reproduce dense values exactly at candidate centers (the patch
 covers the full receptive field, and dense zero padding equals patch zero
 padding at image borders), and the final top-k can only select candidate
@@ -59,6 +60,10 @@ PREDECESSORS = {
     "dep_un": ["cls", "s3d", "dep"],
 }
 DEP_NORM = 65.0
+# per-scale candidate count of the sparse eval path (reference head.py:663
+# ``select_candidates`` top-50). Facades must not decode with max_det above
+# this when sparse_eval is on: off-candidate anchors carry zero regression.
+SPARSE_K = 50
 
 
 def _build_conv(c2: int, k: int, dsconv: bool) -> object:
@@ -74,7 +79,7 @@ class V10Detect3d(nn.Module):
     nc: int
     ch: Tuple[int, ...]
     cfg: Tuple[Tuple[str, object], ...] = ()
-    max_det: int = 50
+    max_det: int = SPARSE_K
     eval_one2many: bool = True  # serving mode skips o2m + embeddings at eval
     sparse_eval: bool = False  # o2o regression branches on top-k patches only
 
@@ -194,6 +199,29 @@ class V10Detect3d(nn.Module):
             embs.append(emb)
         return ys, embs
 
+    def _fusable(self, heads, i):
+        """The im2col fast path reads raw kernels/BN stats from the standard
+        [Conv(k1), Conv(k2), 1x1] branch; anything else (dsconv pairs, int8
+        quantized convs, mid-init empty scopes) takes the dense fallback."""
+        if self.dsconv or self.is_initializing():
+            return False
+
+        def ok(m):
+            try:
+                p = m.variables["params"]
+                s = m.variables["batch_stats"]
+            except Exception:
+                return False
+            return (
+                "conv" in p and "kernel" in p["conv"]
+                and p["conv"]["kernel"].ndim == 4 and "bn" in s
+            )
+
+        return all(
+            ok(heads[j][i][0]) and ok(heads[j][i][1])
+            for j in range(1, len(self.output_channels))
+        )
+
     def _sparse_forward_feat(self, xs, heads, train):
         """Static-shape redesign of the reference's sparse top-k patch
         inference (head.py:663-716 ``select_candidates``/``extract_patches``/
@@ -201,27 +229,50 @@ class V10Detect3d(nn.Module):
 
         Per scale: dense cls branch -> top-``max_det`` anchors by max-class
         logit (matching the reference's raw-score ``torch.max`` selection) ->
-        gather one (2p+1)^2 patch per candidate (p = k1//2 + k2//2, the
-        branch receptive radius) from the pad-p feature map -> run the 7
-        regression branches UNCHANGED (SAME padding) on the (B*K, P, P, C)
-        patch batch and keep the center pixel -> one-hot-einsum scatter into
-        zero maps. The center pixel after two SAME k3 convs on a 5x5 patch
-        only consumes the exact 3x3 interior of the first conv's output, so
-        values equal the dense forward bit-for-bit at candidate locations;
-        everything off-candidate is zero, exactly like the reference's
-        ``torch.zeros`` scatter target. Gather/scatter are row-wise on the
-        major axis (channel-contiguous), the known-fast pattern here — no
-        minor-axis gathers (PARITY.md round-2 one-hot-contraction notes).
+        gather one (k1+k2-1)^2 receptive-field patch per candidate from the
+        padded feature map -> **one VALID conv over all seven branches'
+        concatenated conv1 kernels** on the patch batch (output spatial is
+        exactly the k2 x k2 interior conv2's center needs; BN folded to a
+        per-channel affine) -> conv2 as one batched einsum over branches at
+        the center position -> seven tiny 1x1 matmuls. Center values equal
+        the dense forward up to fp reassociation (BN folded to a*x+b, conv
+        tiling); off-candidate is zero, exactly like the reference's
+        ``torch.zeros`` scatter target.
+
+        Measured design choices (tools/exp_sparse_profile.py and
+        exp_sparse_gather.py, v5e B=64 384x1280 shapes): the VALID conv is
+        3.7x a hand im2col stack+matmul of the same contraction; a SAME-
+        padded patch-conv first version (25 positions computed, 1 useful)
+        capped the e2e win at +6-8%; take_along_axis row gathers beat
+        lax.gather block variants by >4x (vmapped gathers lower to loops).
+        Per-scale static crossover: sparse only when 2*K*k2^2 < H*W — the
+        patch path must beat dense by ~2x in FLOPs to cover its
+        gather+scatter overhead, which puts the P5-sized maps on the dense
+        branch. Final detections are unaffected either way (the decode top-k
+        only ever selects per-scale top-K anchors, whose regression values
+        are identical). Gather/scatter are row-wise on the major axis
+        (channel-contiguous) — no minor-axis gathers (PARITY.md round-2
+        one-hot-contraction notes).
         """
+        from .modules import BN_EPS, apply_act
+
         names = list(self.output_channels.keys())
-        pad = (self.k1 // 2) + (self.k2 // 2)
+        k1, k2 = self.k1, self.k2
+        pad = (k1 // 2) + (k2 // 2)
         P = 2 * pad + 1
+        nj = len(names)
         ys = []
         for i in range(self.nl):
             x = xs[i]
             B, H, W, C = x.shape
             cls_map = self._run(heads[0][i], x, train)  # dense: drives top-k
             K = min(self.max_det, H * W)
+            if 2 * K * k2 * k2 >= H * W or not self._fusable(heads, i):
+                reg_maps = [
+                    self._run(heads[j][i], x, train) for j in range(1, nj)
+                ]
+                ys.append(jnp.concatenate([cls_map] + reg_maps, axis=-1))
+                continue
             scores = cls_map.max(axis=-1).reshape(B, H * W)
             _, top_idx = jax.lax.top_k(scores, K)  # (B, K)
             yi, xi = top_idx // W, top_idx % W
@@ -234,14 +285,73 @@ class V10Detect3d(nn.Module):
             flat = (rows * Wp + cols).reshape(B, K * P * P, 1)
             patches = jnp.take_along_axis(xpad.reshape(B, -1, C), flat, axis=1)
             patches = patches.reshape(B * K, P, P, C)
-            reg = jnp.concatenate(
+            xw = patches.dtype
+
+            def affine(conv):
+                """Eval BN folded to y = x*a + b (f32 stats math)."""
+                v = conv.variables
+                sc = v["params"]["bn"]["scale"].astype(jnp.float32)
+                bi = v["params"]["bn"]["bias"].astype(jnp.float32)
+                mu = v["batch_stats"]["bn"]["mean"].astype(jnp.float32)
+                vr = v["batch_stats"]["bn"]["var"].astype(jnp.float32)
+                a = sc * jax.lax.rsqrt(vr + BN_EPS)
+                return a.astype(xw), (bi - mu * a).astype(xw)
+
+            # conv1 over ALL SEVEN branches as ONE VALID conv on the patch
+            # batch: output spatial is exactly the k2 x k2 interior conv2's
+            # center needs. Measured 3.7x faster than a hand im2col
+            # stack+matmul of the same contraction (tools/exp_sparse_gather.py
+            # D vs E) — XLA's conv lowering beats the explicit window
+            # materialization on these shapes.
+            w1 = jnp.concatenate(
                 [
-                    self._run(heads[j][i], patches, train)[:, pad, pad, :]
-                    .reshape(B, K, -1)
-                    for j in range(1, len(names))
+                    heads[j][i][0].variables["params"]["conv"]["kernel"]
+                    .astype(xw)
+                    for j in range(1, nj)
                 ],
                 axis=-1,
-            )  # (B, K, no - nc)
+            )  # (k1, k1, C, sum mid) HWIO
+            ab1 = [affine(heads[j][i][0]) for j in range(1, nj)]
+            a1 = jnp.concatenate([a for a, _ in ab1])
+            b1 = jnp.concatenate([b for _, b in ab1])
+            h1 = jax.lax.conv_general_dilated(
+                patches, w1, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )  # (B*K, k2, k2, sum mid)
+            h1 = apply_act(h1 * a1 + b1, True)
+            mids = [
+                heads[j][i][0].variables["params"]["conv"]["kernel"].shape[-1]
+                for j in range(1, nj)
+            ]
+            w2s = [
+                heads[j][i][1].variables["params"]["conv"]["kernel"].astype(xw)
+                for j in range(1, nj)
+            ]
+            ab2 = [affine(heads[j][i][1]) for j in range(1, nj)]
+            if len(set(mids)) == 1 and len({w.shape[-1] for w in w2s}) == 1:
+                # uniform branch widths (the shipped configs): one batched
+                # einsum over the branch dim instead of 7 small ones
+                g = nj - 1
+                h1g = h1.reshape(B * K, k2, k2, g, mids[0])
+                z = jnp.einsum("pyxgm,gyxmn->pgn", h1g, jnp.stack(w2s))
+                a2 = jnp.stack([a for a, _ in ab2])
+                b2 = jnp.stack([b for _, b in ab2])
+                h2 = apply_act(z * a2 + b2, True)  # (B*K, g, mid2)
+                h2s = [h2[:, j] for j in range(g)]
+            else:
+                h2s, off = [], 0
+                for j in range(1, nj):
+                    h = h1[..., off : off + mids[j - 1]]
+                    off += mids[j - 1]
+                    z = jnp.einsum("pyxm,yxmn->pn", h, w2s[j - 1])
+                    a2, b2 = ab2[j - 1]
+                    h2s.append(apply_act(z * a2 + b2, True))
+            outs = []
+            for j in range(1, nj):
+                v3 = heads[j][i][2].variables["params"]
+                w3 = v3["kernel"].astype(xw).reshape(-1, v3["kernel"].shape[-1])
+                outs.append(h2s[j - 1] @ w3 + v3["bias"].astype(xw))
+            reg = jnp.concatenate(outs, axis=-1).reshape(B, K, -1)
             # scatter: top_k indices are distinct, so the one-hot sum is exact
             onehot = jax.nn.one_hot(top_idx, H * W, dtype=reg.dtype)
             dense = jnp.einsum("bkl,bkc->blc", onehot, reg).reshape(
