@@ -4,7 +4,7 @@ Grammar: ``yolo10 TASK MODE key=value ...`` with TASK in {detect, detect3d,
 segment, classify, pose, obb} and MODE in {train, val, predict, export,
 benchmark}; both optional, inferred like the reference (the head module in
 the model YAML decides the real pipeline — the TASK word is a hint).
-Special commands: help, version, cfg, explorer.
+Special commands: help, version, cfg, explorer, serve.
 """
 
 from __future__ import annotations
@@ -28,6 +28,7 @@ examples:
   yolo10 detect3d train model=yolov10s_3D.yaml data=kitti.yaml
   yolo10 export model=yolov10s.ckpt format=stablehlo
   yolo10 explorer data=coco128.yaml  # dataset dashboard (HTTP)
+  yolo10 serve model=yolov10s.ckpt port=8000 batch=32  # batching HTTP server
   yolo10 cfg                      # print default config
 """
 
@@ -78,6 +79,26 @@ def entrypoint(argv=None) -> int:
         print(f"embedded {n} images")
         ExplorerDashboard(ex, names=getattr(model, "names", None)).serve(
             port=int(kv.pop("port", 7861))
+        )
+        return 0
+    if argv[0] == "serve":
+        # dynamic-batching inference server (engine/server.py) — the TPU
+        # deployment surface the reference's Gradio demo / HUB deploy covers
+        kv = parse_kv(argv[1:])
+        from ..engine.model import YOLO
+        from ..engine.server import InferenceServer
+
+        model = YOLO(str(kv.pop("model", "yolov10n.yaml")))
+        srv = InferenceServer(
+            model,
+            imgsz=kv.pop("imgsz", 640),
+            conf=float(kv.pop("conf", 0.25)),
+            max_batch=int(kv.pop("batch", 32)),
+            max_delay_ms=float(kv.pop("max_delay_ms", 10.0)),
+        )
+        srv.serve(
+            host=str(kv.pop("host", "127.0.0.1")),
+            port=int(kv.pop("port", 8000)),
         )
         return 0
 

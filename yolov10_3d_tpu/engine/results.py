@@ -216,19 +216,63 @@ class Results:
         return len(self.boxes) if self.boxes is not None else 0
 
     def summary(self):
+        """JSON-ready per-detection dicts, covering every task's payload
+        (reference results.py ``summary``: box + optional segments/keypoints;
+        extended here with the 3D, OBB, and classify payloads)."""
         out = []
-        b = self.boxes
+        if self.probs is not None:
+            p = self.probs
+            return [
+                {
+                    "name": self.names.get(p.top1, str(p.top1)),
+                    "class": p.top1,
+                    "confidence": float(p.top1conf),
+                }
+            ]
+        if self.obb is not None:
+            o = self.obb
+            for i in range(len(o)):
+                out.append(
+                    {
+                        "name": self.names.get(int(o.cls[i]), str(int(o.cls[i]))),
+                        "class": int(o.cls[i]),
+                        "confidence": float(o.conf[i]),
+                        "box": {
+                            k: float(v)
+                            for k, v in zip("x y w h r".split(), o.xywhr[i])
+                        },
+                    }
+                )
+            return out
+        b = self.boxes3d if self.boxes3d is not None else self.boxes
         if b is None:
             return out
         for i in range(len(b)):
-            out.append(
-                {
-                    "name": self.names.get(int(b.cls[i]), str(int(b.cls[i]))),
-                    "class": int(b.cls[i]),
-                    "confidence": float(b.conf[i]),
-                    "box": {k: float(v) for k, v in zip("x1 y1 x2 y2".split(), b.xyxy[i])},
+            row = {
+                "name": self.names.get(int(b.cls[i]), str(int(b.cls[i]))),
+                "class": int(b.cls[i]),
+                "confidence": float(b.conf[i]),
+                "box": {k: float(v) for k, v in zip("x1 y1 x2 y2".split(), b.xyxy[i])},
+            }
+            if self.boxes3d is not None:
+                row["box3d"] = {
+                    "xyz": [float(v) for v in b.xyz[i]],
+                    "hwl": [float(v) for v in b.size_3d[i]],
+                    "ry": float(b.ry[i]),
+                    "depth_sigma": float(b.depth_sigma[i]),
                 }
-            )
+            if self.keypoints is not None and i < len(self.keypoints):
+                row["keypoints"] = {
+                    "xy": self.keypoints.xy[i].tolist(),
+                    **(
+                        {"conf": self.keypoints.conf[i].tolist()}
+                        if self.keypoints.conf is not None
+                        else {}
+                    ),
+                }
+            if self.masks is not None and i < len(self.masks):
+                row["segments"] = {"xy": self.masks.xy[i].tolist()}
+            out.append(row)
         return out
 
     def save_txt(self, txt_file, save_conf: bool = False):
