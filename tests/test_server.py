@@ -87,7 +87,10 @@ def test_requests_coalesce_into_one_batch(server):
     st = _get(base + "/stats")
     assert st["images"] >= 5 and st["batches"] > n0
     assert st["latency_ms"]["p50"] is not None
-    assert sum(int(k) * v for k, v in st["batch_hist"].items()) == st["images"]
+    # batch_hist records padded DEVICE batches (allowed sizes only), so its
+    # weighted sum bounds the actual image count from above
+    assert all(int(k) in {1, 2, 4, 8} for k in st["batch_hist"])
+    assert sum(int(k) * v for k, v in st["batch_hist"].items()) >= st["images"]
 
 
 def test_conf_and_classes_filters(server):

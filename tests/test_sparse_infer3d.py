@@ -87,6 +87,60 @@ def test_detections_identical(outputs):
     assert np.abs(np.asarray(ra) - np.asarray(rb)).max() < 5e-3
 
 
+def test_border_candidates_match_dense():
+    """Dense conv2 zero-pads the conv1 OUTPUT map; the patch path must zero
+    its out-of-map interior positions to match (border anchors diverged
+    ~3e-3 before the in-map mask; interior float noise is ~1e-6). Content is
+    isolated at a corner so the top-k candidates sit ON the border."""
+    dense, spec = build_model(CFG, fast_eval=True)
+    sparse, _ = build_model(CFG, fast_eval=True, sparse_eval=True)
+    x = np.zeros((1, *HW, 3), np.float32)
+    x[:, :10, :10] = np.random.default_rng(7).uniform(size=(1, 10, 10, 3))
+    x = jnp.asarray(x)
+    v = jax.jit(dense.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x, train=True
+    )
+    fd = jax.jit(lambda v, x: dense.apply(v, x, train=False))(v, x)["one2one"]
+    fs = jax.jit(lambda v, x: sparse.apply(v, x, train=False))(v, x)["one2one"]
+    nc = spec.nc
+    a, b = np.asarray(fd[0]), np.asarray(fs[0])  # P3: the sparse scale
+    cand = np.abs(b[..., nc:]).sum(-1) > 0
+    assert cand[0, 0, 0], "corner content must make the corner a candidate"
+    border = np.zeros_like(cand)
+    border[:, [0, -1], :] = border[:, :, [0, -1]] = True
+    bc = cand & border
+    assert bc.any()
+    diff = np.abs(a[..., nc:] - b[..., nc:])[bc]
+    assert diff.max() < 1e-4, diff.max()
+
+
+def test_int8_mode_disables_fused_sparse():
+    """_Int8Conv declares the same conv/kernel param tree, so structure
+    checks pass — but its forward quantizes; the fused sparse path must not
+    silently compute unquantized math (it falls back to dense)."""
+    from yolov10_3d_tpu.nn import modules as m
+
+    sparse, spec = build_model(CFG, fast_eval=True, sparse_eval=True)
+    x = jnp.asarray(
+        np.random.default_rng(5).uniform(size=(1, *HW, 3)), jnp.float32
+    )
+    v = jax.jit(sparse.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x, train=True
+    )
+    m.set_int8_mode(True)
+    try:
+        dense_i8, _ = build_model(CFG, fast_eval=True)
+        v8 = jax.jit(dense_i8.init, static_argnames="train")(
+            jax.random.PRNGKey(0), x, train=True
+        )
+        outd = jax.jit(lambda v, x: dense_i8.apply(v, x, train=False))(v8, x)
+        outs = jax.jit(lambda v, x: sparse.apply(v, x, train=False))(v8, x)
+        for a, b in zip(outd["one2one"], outs["one2one"]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    finally:
+        m.set_int8_mode(False)
+
+
 def test_facades_respect_sparse_candidate_envelope():
     """Decode max_det above the head's per-scale candidate count (SPARSE_K)
     could select anchors whose sparse regression is zero; the predictor must

@@ -129,7 +129,9 @@ def entrypoint(argv=None) -> int:
         for r in results:
             print(f"{r.path}: {len(r)} detections")
             for d in r.summary():
-                print(f"  {d['name']} {d['confidence']:.3f} {d['box']}")
+                # classify rows carry no 'box'; obb rows carry xywhr
+                geom = d.get("box", "")
+                print(f"  {d['name']} {d['confidence']:.3f} {geom}".rstrip())
         return 0
     if mode == "track":
         source = kv.pop("source", None)

@@ -190,9 +190,22 @@ class Predictor:
             return x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
 
         if self.task == "detect3d":
+            from ..nn.heads3d import SPARSE_K
+
+            model = self.model
+            if getattr(model, "sparse_eval", False) and max_det > SPARSE_K:
+                # per-call max_det override above the head's candidate set:
+                # off-candidate sparse regression is zero, so fall back to
+                # the dense fast_eval twin for this decode width
+                from ..nn.build import YOLOModel
+
+                model = YOLOModel(
+                    spec=spec, fast_eval=True, spd_stem=model.spd_stem
+                )
+
             @jax.jit
             def fwd(variables, x):
-                feats = self.model.apply(variables, norm(x), train=False)["one2one"]
+                feats = model.apply(variables, norm(x), train=False)["one2one"]
                 nl = len(feats)
                 preds = decode_detect3d(feats, spec.strides[:nl], spec.nc)
                 reg, scores, labels = v10_3d_postprocess(preds, max_det, spec.nc)

@@ -67,6 +67,13 @@ class DynamicBatcher:
         self.conf_floor = float(conf_floor)
         self.max_batch = int(max_batch)
         self.max_delay = float(max_delay_ms) / 1e3
+        # jitted forwards compile per batch size; pad every window up to the
+        # next allowed size so the compile set is log2(max_batch)+1 shapes,
+        # not max_batch (TF Serving's allowed_batch_sizes, for the same
+        # reason — review finding: unpadded windows recompiled per size)
+        self.allowed = [1]
+        while self.allowed[-1] < self.max_batch:
+            self.allowed.append(min(self.allowed[-1] * 2, self.max_batch))
         self.queue: Queue = Queue()
         self.lock = threading.Lock()
         self.stats = {"requests": 0, "images": 0, "batches": 0, "errors": 0}
@@ -108,32 +115,39 @@ class DynamicBatcher:
     def _loop(self):
         while not self._stop.is_set():
             batch = self._drain()
-            if batch and batch[0] is None:  # shutdown sentinel
-                return
+            stopping = None in batch  # sentinel may land mid-window
+            batch = [p for p in batch if p is not None]
+            if not batch:
+                if stopping:
+                    return
+                continue
+            n = len(batch)
+            # pad to the next allowed device batch (results sliced back)
+            size = next(s for s in self.allowed if s >= n)
+            imgs = [p.img for p in batch] + [batch[0].img] * (size - n)
             try:
                 results = self.predictor(
-                    [p.img for p in batch],
-                    batch_size=len(batch),
-                    conf=self.conf_floor,
-                    imgsz=self.imgsz,
+                    imgs, batch_size=size, conf=self.conf_floor, imgsz=self.imgsz
                 )
                 for p, r in zip(batch, results):
                     p.result = r
-                    p.batch = len(batch)
+                    p.batch = size
             except Exception as e:  # surface to every waiter in the batch
                 for p in batch:
                     p.error = e
                 with self.lock:
-                    self.stats["errors"] += len(batch)
+                    self.stats["errors"] += n
             now = time.perf_counter()
             with self.lock:
                 self.stats["batches"] += 1
-                self.stats["images"] += len(batch)
-                self.batch_hist[len(batch)] = self.batch_hist.get(len(batch), 0) + 1
+                self.stats["images"] += n
+                self.batch_hist[size] = self.batch_hist.get(size, 0) + 1
                 for p in batch:
                     self.latencies.append(now - p.t0)
             for p in batch:
                 p.event.set()
+            if stopping:
+                return
 
     def stop(self):
         self._stop.set()

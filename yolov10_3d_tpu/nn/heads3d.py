@@ -203,7 +203,12 @@ class V10Detect3d(nn.Module):
         """The im2col fast path reads raw kernels/BN stats from the standard
         [Conv(k1), Conv(k2), 1x1] branch; anything else (dsconv pairs, int8
         quantized convs, mid-init empty scopes) takes the dense fallback."""
-        if self.dsconv or self.is_initializing():
+        from . import modules as _m
+
+        # _Int8Conv declares the identical conv/kernel param tree (so the
+        # structure check below passes) but its forward quantizes; the fused
+        # path would silently compute unquantized math (review finding)
+        if self.dsconv or self.is_initializing() or getattr(_m, "_INT8_MODE", False):
             return False
 
         def ok(m):
@@ -319,6 +324,19 @@ class V10Detect3d(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )  # (B*K, k2, k2, sum mid)
             h1 = apply_act(h1 * a1 + b1, True)
+            # dense-border semantics: dense conv2 zero-pads the conv1 OUTPUT
+            # map, but the patch conv computes real conv1 values at
+            # out-of-map positions (bias/BN make conv1(zeros) != 0). Zero
+            # the interior positions that fall outside the feature map so
+            # border candidates match the dense forward exactly (review
+            # finding: border anchors diverged ~3e-3 vs 1e-6 interior).
+            du = jnp.arange(k2) - k2 // 2
+            r_ok = (yi[:, :, None] + du >= 0) & (yi[:, :, None] + du < H)
+            c_ok = (xi[:, :, None] + du >= 0) & (xi[:, :, None] + du < W)
+            inmap = (r_ok[:, :, :, None] & c_ok[:, :, None, :]).reshape(
+                B * K, k2, k2, 1
+            )
+            h1 = jnp.where(inmap, h1, 0)
             mids = [
                 heads[j][i][0].variables["params"]["conv"]["kernel"].shape[-1]
                 for j in range(1, nj)
