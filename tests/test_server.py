@@ -121,6 +121,39 @@ def test_malformed_inputs(server):
     assert e.value.code == 404
 
 
+def test_data_parallel_serving_matches_single_device():
+    """devices=4 over the virtual CPU mesh: buckets become multiples of the
+    mesh size (every device batch divides across the dp axis) and the
+    detections equal the single-device server's for the same image."""
+    body = _jpeg_bytes(np.random.default_rng(9), hw=(64, 64))
+    outs = {}
+    for devices in (1, 4):
+        model = YOLO("yolov10_3d_tpu/cfg/models/v10/yolov10n.yaml")
+        srv = InferenceServer(
+            model, imgsz=IMGSZ, conf=0.001, max_batch=8,
+            max_delay_ms=5.0, devices=devices,
+        )
+        if devices == 4:
+            assert srv.batcher.allowed == [4, 8]
+            assert srv.predictor.mesh is not None
+        http = srv.serve(port=0, blocking=False, warmup=True)
+        base = f"http://127.0.0.1:{http.server_address[1]}"
+        try:
+            out = _post(base + "/predict", body)
+            if devices == 4:
+                assert out["batched_with"] % 4 == 0
+            outs[devices] = out["detections"]
+        finally:
+            srv.stop()
+    assert len(outs[1]) == len(outs[4])
+    # identical weights (seeded init), identical math modulo dp partition
+    for a, b in zip(outs[1], outs[4]):
+        assert a["class"] == b["class"]
+        assert abs(a["confidence"] - b["confidence"]) < 1e-5
+        for k in a["box"]:
+            assert abs(a["box"][k] - b["box"][k]) < 1e-2
+
+
 def test_3d_payload():
     model = YOLO("yolov10_3d_tpu/cfg/models/v10-3D/yolov10n_3D.yaml")
     srv = InferenceServer(

@@ -85,6 +85,13 @@ def entrypoint(argv=None) -> int:
         # dynamic-batching inference server (engine/server.py) — the TPU
         # deployment surface the reference's Gradio demo / HUB deploy covers
         kv = parse_kv(argv[1:])
+        platform = kv.pop("platform", None)
+        if platform:  # e.g. platform=cpu for local testing — on this image
+            # the env var is pre-empted by the site-installed TPU plugin,
+            # so only the pre-init config flag selects the backend
+            import jax
+
+            jax.config.update("jax_platforms", str(platform))
         from ..engine.model import YOLO
         from ..engine.server import InferenceServer
 
@@ -95,6 +102,7 @@ def entrypoint(argv=None) -> int:
             conf=float(kv.pop("conf", 0.25)),
             max_batch=int(kv.pop("batch", 32)),
             max_delay_ms=float(kv.pop("max_delay_ms", 10.0)),
+            devices=int(kv.pop("devices", 1)),  # 0 = all local devices (dp)
         )
         srv.serve(
             host=str(kv.pop("host", "127.0.0.1")),

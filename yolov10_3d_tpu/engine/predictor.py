@@ -144,9 +144,19 @@ def _scale_masks_np(masks, from_shape, to_shape):
 class Predictor:
     """NMS-free detection predictor."""
 
-    def __init__(self, model, spec, variables, args, names=None):
+    def __init__(self, model, spec, variables, args, names=None, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``dp`` axis for
+        data-parallel inference — variables are replicated once, each chunk's
+        batch dim is sharded over the axis, and XLA partitions the jitted
+        forward with no collectives (pure dp; batch must divide the axis
+        size, otherwise the chunk silently runs unsharded)."""
         self.model = model
         self.spec = spec
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import replicated
+
+            variables = jax.device_put(variables, replicated(mesh))
         self.variables = variables
         self.args = args
         self.names = names or {i: str(i) for i in range(spec.nc)}
@@ -335,14 +345,22 @@ class Predictor:
             self.args is None or self.args.get("device_preprocess", True)
         ) and len({im.shape for im in imgs}) == 1 and imgs[0].dtype == np.uint8
         t0 = time.perf_counter()
+
+        def h2d(arr):
+            """Place the host batch; under a dp mesh, shard the batch dim so
+            preprocessing AND the forward partition across devices."""
+            if self.mesh is not None and arr.shape[0] % self.mesh.size == 0:
+                from ..parallel.mesh import batch_sharding
+
+                return jax.device_put(arr, batch_sharding(self.mesh))
+            return jnp.asarray(arr)
+
         if uniform:
-            x = self._device_preprocess_fn(tuple(shape))(
-                jnp.asarray(np.stack(imgs))
-            )
+            x = self._device_preprocess_fn(tuple(shape))(h2d(np.stack(imgs)))
             model_hw = tuple(shape)
         else:
             batch, _ = preprocess_batch(imgs, imgsz)
-            x = jnp.asarray(batch)
+            x = h2d(batch)
             model_hw = batch.shape[1:3]
         t1 = time.perf_counter()
         out = fwd(self.variables, x)

@@ -70,8 +70,13 @@ class DynamicBatcher:
         # jitted forwards compile per batch size; pad every window up to the
         # next allowed size so the compile set is log2(max_batch)+1 shapes,
         # not max_batch (TF Serving's allowed_batch_sizes, for the same
-        # reason — review finding: unpadded windows recompiled per size)
-        self.allowed = [1]
+        # reason — review finding: unpadded windows recompiled per size).
+        # Under a dp mesh every bucket must divide across the axis, so the
+        # ladder starts at the mesh size.
+        base = getattr(predictor, "mesh", None)
+        base = base.size if base is not None else 1
+        self.max_batch = -(-max(self.max_batch, base) // base) * base
+        self.allowed = [base]
         while self.allowed[-1] < self.max_batch:
             self.allowed.append(min(self.allowed[-1] * 2, self.max_batch))
         self.queue: Queue = Queue()
@@ -168,16 +173,35 @@ class InferenceServer:
     """HTTP front end over a :class:`DynamicBatcher`."""
 
     def __init__(self, model, imgsz=640, conf: float = 0.25,
-                 max_batch: int = 32, max_delay_ms: float = 10.0):
+                 max_batch: int = 32, max_delay_ms: float = 10.0,
+                 devices: int = 1):
         """``model``: a ``YOLO`` facade (engine/model.py). The predictor is
         built once; its jit cache compiles per input shape, so the server
-        letterboxes everything to ``imgsz``."""
+        letterboxes everything to ``imgsz``. ``devices`` > 1 serves
+        data-parallel over a dp mesh: variables replicated, every device
+        batch sharded on its leading dim (batch buckets become multiples of
+        ``devices``); 0 means all local devices."""
         from .predictor import Predictor
 
         self.model = model
+        mesh = None
+        if devices != 1:
+            import jax as _jax
+
+            from ..parallel.mesh import get_mesh
+
+            avail = len(_jax.devices())
+            n = avail if devices == 0 else int(devices)
+            if n > avail:  # get_mesh silently clamps; a deploy flag must not
+                raise ValueError(
+                    f"devices={n} requested but only {avail} present "
+                    f"(platform {_jax.devices()[0].platform})"
+                )
+            mesh = get_mesh(n)
         args = model._cfg({"conf": conf, "imgsz": imgsz})
         self.predictor = Predictor(
-            model.model, model.spec, model.variables, args, model.names
+            model.model, model.spec, model.variables, args, model.names,
+            mesh=mesh,
         )
         self.model_name = str(getattr(model, "model_name", "") or model.task)
         self.batcher = DynamicBatcher(
