@@ -59,6 +59,64 @@ def overfit_dataset(tmp_path_factory):
     return yaml_path
 
 
+def test_overfit3d_to_ap40(tmp_path_factory, tmp_path):
+    """yolov10n-3D overfits 8 synthetic KITTI images to a high AP40
+    (3d@0.70, moderate) through the REAL train -> Detection3DValidator ->
+    kitti_eval pipeline (VERDICT r2 item 5, the 3D half).
+
+    The fixture paints each object as a distinct solid color (apparent size
+    ~ 1/z gives depth signal; the per-instance color lets the net memorize
+    ry and exact z, which are not otherwise observable from an axis-aligned
+    rectangle). z <= 25 m keeps every box >= 43 px tall in the original
+    frame, inside the KITTI moderate-difficulty height filter."""
+    try:
+        import cv2  # noqa: F401
+    except ImportError:
+        pytest.skip("cv2 required")
+    from _helpers import make_kitti_tree
+
+    from yolov10_3d_tpu import YOLOv10_3D
+
+    yaml_path = make_kitti_tree(
+        tmp_path_factory.mktemp("overfit3d"), n_images=8, draw_boxes=True,
+        val_all=True, z_range=(8.0, 25.0), n_objects=2,
+    )
+    res_wh = [320, 96]
+    model = YOLOv10_3D("yolov10n_3D.yaml")
+    t0 = time.time()
+    model.train(
+        data=str(yaml_path),
+        epochs=300,
+        imgsz=res_wh,
+        kitti_resolution=res_wh,
+        batch=8,
+        workers=2,
+        warmup_epochs=0.0,
+        fliplr=0.0,
+        random_crop=0.0,
+        mixup=0.0,
+        patience=10000,
+        amp=False,
+        lr0=0.003,
+        lrf=0.2,
+        optimizer="AdamW",
+        nbs=8,
+        val_period=10**6,  # validate once at the end, below
+        max_depth_threshold=60.0,
+        save_dir=str(tmp_path / "run3d"),
+    )
+    res = model.val(
+        data=str(yaml_path), batch=8, kitti_resolution=res_wh,
+        save_dir=str(tmp_path / "val3d"),
+    )
+    took = f"{time.time() - t0:.0f}s"
+    # 2D localization must be essentially solved on the train set...
+    assert res["mAP50"] >= 0.9, (res, took)
+    # ...and the 3D protocol (AP40, 3D IoU 0.70, moderate) near-saturated:
+    # depth within ~0.7 m, memorized ry, constant dims
+    assert res["metrics/3D"] >= 0.7, (res, took)
+
+
 def test_overfit_to_map50(overfit_dataset, tmp_path):
     """yolov10n overfits 8 images to mAP50 >= 0.9 through the real val loop."""
     from yolov10_3d_tpu import YOLOv10

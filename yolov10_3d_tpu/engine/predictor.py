@@ -364,7 +364,9 @@ class Predictor:
             model_hw = batch.shape[1:3]
         t1 = time.perf_counter()
         out = fwd(self.variables, x)
-        out = tuple(np.asarray(o) for o in out)
+        # ONE batched transfer: per-array np.asarray pays a tunnel round
+        # trip each (~10-25 ms x n_outputs through axon; serving load test)
+        out = tuple(jax.device_get(out))
         t2 = time.perf_counter()
         results = []
         for j, (path, img) in enumerate(chunk):

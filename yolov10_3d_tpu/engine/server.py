@@ -211,10 +211,19 @@ class InferenceServer:
         self.server = None
 
     def warmup(self):
-        """Compile the serving forward before the first request lands."""
+        """Compile the serving forward for EVERY allowed device batch before
+        the first request lands — an unwarmed bucket compiling mid-traffic
+        blocks the worker for the full XLA compile and times out everything
+        queued behind it (measured: p99 jumped to 58 s on the first 8-bucket
+        window in tools/exp_serve_load.py)."""
         sz = self.batcher.imgsz
         hw = (sz, sz) if isinstance(sz, int) else tuple(sz)
-        self.batcher.submit(np.zeros((*hw, 3), np.uint8), timeout=600.0)
+        img = np.zeros((*hw, 3), np.uint8)
+        for size in self.batcher.allowed:
+            self.predictor(
+                [img] * size, batch_size=size,
+                conf=self.batcher.conf_floor, imgsz=self.batcher.imgsz,
+            )
 
     # -- request handling -------------------------------------------------------
     def _predict(self, body: bytes, q: dict) -> dict:
