@@ -3,9 +3,11 @@
 
 TPU-native formats: native .ckpt (flax weights, rebuilt model), reference .pt
 (via the torch weight converter), a serialized StableHLO export directory
-(AOT artifact, weights baked in), a TF SavedModel directory, and a .tflite
-flatbuffer — i.e. every format the Exporter can emit round-trips back
-through AutoBackend. All expose ``forward(imgs NHWC fp32) ->
+(AOT artifact, weights baked in), a TF SavedModel directory, a .tflite
+flatbuffer, a frozen .pb graph, an in-repo-runtime .onnx, and a reference-
+exported .torchscript (torch-CPU) — i.e. every format the Exporter can emit
+round-trips back through AutoBackend, plus the reference's own TorchScript
+artifacts. All expose ``forward(imgs NHWC fp32) ->
 (boxes_or_reg, scores, labels)`` with fixed shapes + ``warmup()``.
 """
 
@@ -156,6 +158,54 @@ class AutoBackend:
             self.names = {}
             self.max_det = max_det
             self.input_shape = tuple(int(d) for d in meta["input_shape"])
+        elif self.kind == "torchscript":
+            # reference-exported TorchScript artifact (autobackend.py:169-173
+            # loads with an embedded ``config.txt`` metadata extra-file); runs
+            # on torch-CPU here — the migration path for users holding the
+            # reference's first-listed export format. Inputs bridge NHWC
+            # (our forward() contract) -> NCHW (torch image layout).
+            import json
+
+            import torch
+
+            extra = {"config.txt": ""}
+            mod = torch.jit.load(self.path, _extra_files=extra, map_location="cpu")
+            mod.eval()
+            meta = {}
+            if extra["config.txt"]:
+                try:
+                    meta = json.loads(extra["config.txt"])
+                except (ValueError, TypeError):
+                    meta = {}
+            names = meta.get("names") or {}
+            self.names = {int(k): str(v) for k, v in dict(names).items()}
+            self.nc = len(self.names) or None
+            self.max_det = max_det
+            shp = meta.get("imgsz")
+            self.input_shape = (
+                (int(meta.get("batch", 1)), int(shp[0]), int(shp[1]), 3)
+                if shp else None
+            )
+
+            def call(x):
+                # np.array(copy=True): device arrays surface as read-only
+                # buffers, and torch.from_numpy refuses non-writable views
+                xin = torch.from_numpy(
+                    np.array(
+                        np.transpose(np.asarray(x, np.float32), (0, 3, 1, 2)),
+                        dtype=np.float32,
+                    )
+                )
+                with torch.no_grad():
+                    out = mod(xin)
+                if isinstance(out, (list, tuple)):
+                    return tuple(
+                        o.numpy() for o in out if isinstance(o, torch.Tensor)
+                    )
+                return (out.numpy(),)
+
+            self._torch = mod  # keep alive
+            self._call = call
         elif self.kind == "onnx":
             # in-repo numpy ONNX runtime (nn/onnx_runtime.py) — loads the
             # Exporter's .onnx artifact without onnxruntime (reference
@@ -196,7 +246,8 @@ class AutoBackend:
         else:
             raise ValueError(
                 f"unsupported weights format {self.kind!r} (supported: .ckpt, "
-                ".pt, stablehlo export dir, TF SavedModel dir, .tflite, .pb, .onnx)"
+                ".pt, stablehlo export dir, TF SavedModel dir, .tflite, .pb, "
+                ".onnx, .torchscript)"
             )
 
     def forward(self, imgs) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
