@@ -14,13 +14,21 @@ A100-equivalent baseline, so vs_baseline is measured/1205.
 """
 
 import json
+import os
+import tempfile
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "YOLO10_JAX_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(), f"jax_cache_{os.getuid()}"),
+    ),
+)
 
 BASELINE_IMGS_PER_SEC = 1205.0  # ~A100 TRT-FP16 estimate for YOLOv10-S @640
 # 8xGPU 500-epoch COCO runs in the reference logs imply ~300-400 img/s/GPU

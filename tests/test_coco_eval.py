@@ -77,6 +77,36 @@ def test_coco_eval_vs_own_ap():
     assert abs(coco["map"] - own["mAP50-95"]) < 0.05
 
 
+def test_match_predictions_protocol():
+    """Our claim-matching formulation is bit-identical to the reference's
+    sort + double-np.unique idiom (validator.py:229-269) on 2000 random
+    (labels, detections, IoU) instances, including empty edge cases."""
+    from yolov10_3d_tpu.utils.metrics import match_predictions
+
+    def reference_protocol(pred_classes, true_classes, iou, iouv):
+        correct = np.zeros((pred_classes.shape[0], iouv.shape[0]), bool)
+        iou = np.where(true_classes[:, None] == pred_classes[None, :], iou, 0.0)
+        for i, threshold in enumerate(iouv):
+            matches = np.array(np.nonzero(iou >= threshold)).T
+            if matches.shape[0]:
+                if matches.shape[0] > 1:
+                    matches = matches[iou[matches[:, 0], matches[:, 1]].argsort()[::-1]]
+                    matches = matches[np.unique(matches[:, 1], return_index=True)[1]]
+                    matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
+                correct[matches[:, 1].astype(int), i] = True
+        return correct
+
+    rng = np.random.default_rng(0)
+    iouv = np.linspace(0.5, 0.95, 10)
+    for _ in range(2000):
+        m, n = rng.integers(0, 12), rng.integers(0, 30)
+        tc, pc = rng.integers(0, 5, m), rng.integers(0, 5, n)
+        iou = rng.uniform(0, 1, (m, n))
+        got = match_predictions(pc, tc, iou.copy(), iouv)
+        want = reference_protocol(pc, tc, iou.copy(), iouv)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_coco_eval_crowd_and_area():
     """iscrowd GTs are ignored (not counted as FN) and area splits work."""
     from yolov10_3d_tpu.utils.coco import COCOEvaluator

@@ -59,6 +59,7 @@ def overfit_dataset(tmp_path_factory):
     return yaml_path
 
 
+@pytest.mark.slow
 def test_overfit3d_to_ap40(tmp_path_factory, tmp_path):
     """yolov10n-3D overfits 8 synthetic KITTI images to a high AP40
     (3d@0.70, moderate) through the REAL train -> Detection3DValidator ->
@@ -117,6 +118,7 @@ def test_overfit3d_to_ap40(tmp_path_factory, tmp_path):
     assert res["metrics/3D"] >= 0.7, (res, took)
 
 
+@pytest.mark.slow
 def test_overfit_to_map50(overfit_dataset, tmp_path):
     """yolov10n overfits 8 images to mAP50 >= 0.9 through the real val loop."""
     from yolov10_3d_tpu import YOLOv10

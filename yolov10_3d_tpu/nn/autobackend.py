@@ -8,7 +8,9 @@ flatbuffer, a frozen .pb graph, an in-repo-runtime .onnx, and a reference-
 exported .torchscript (torch-CPU) — i.e. every format the Exporter can emit
 round-trips back through AutoBackend, plus the reference's own TorchScript
 artifacts. All expose ``forward(imgs NHWC fp32) ->
-(boxes_or_reg, scores, labels)`` with fixed shapes + ``warmup()``.
+(boxes_or_reg, scores, labels)`` with fixed shapes + ``warmup()``; a
+TorchScript artifact that is NOT an end-to-end (B, max_det, 6) export
+returns the module's raw outputs unchanged (documented in docs/export.md).
 """
 
 from __future__ import annotations
@@ -171,6 +173,10 @@ class AutoBackend:
             extra = {"config.txt": ""}
             mod = torch.jit.load(self.path, _extra_files=extra, map_location="cpu")
             mod.eval()
+            # pin to fp32: GPU-targeted reference exports are often half()
+            # (reference autobackend.py model.half()/model.float()), and our
+            # forward() contract feeds fp32 NHWC
+            mod.float()
             meta = {}
             if extra["config.txt"]:
                 try:
@@ -178,7 +184,9 @@ class AutoBackend:
                 except (ValueError, TypeError):
                     meta = {}
             names = meta.get("names") or {}
-            self.names = {int(k): str(v) for k, v in dict(names).items()}
+            # older reference exports serialize names as a plain list
+            names = dict(enumerate(names)) if isinstance(names, list) else dict(names)
+            self.names = {int(k): str(v) for k, v in names.items()}
             self.nc = len(self.names) or None
             self.max_det = max_det
             shp = meta.get("imgsz")
@@ -199,10 +207,29 @@ class AutoBackend:
                 with torch.no_grad():
                     out = mod(xin)
                 if isinstance(out, (list, tuple)):
-                    return tuple(
+                    out = tuple(
                         o.numpy() for o in out if isinstance(o, torch.Tensor)
                     )
-                return (out.numpy(),)
+                else:
+                    out = (out.numpy(),)
+                # reference end-to-end exports return one (B, max_det, 6)
+                # tensor [x1,y1,x2,y2,conf,cls] (v10Detect/v10postprocess);
+                # split it into the unified (boxes, scores, labels) contract
+                if (
+                    len(out) == 1
+                    and out[0].ndim == 3
+                    and out[0].shape[-1] == 6
+                ):
+                    det = out[0]
+                    return (
+                        det[..., :4],
+                        det[..., 4],
+                        det[..., 5].astype(np.int32),
+                    )
+                # anything else (raw multi-scale head output) is returned
+                # as-is — callers needing decoded boxes should export
+                # end-to-end or load the .pt via the weight converter
+                return out
 
             self._torch = mod  # keep alive
             self._call = call

@@ -103,20 +103,31 @@ def match_predictions(
     iou: np.ndarray,           # (M, N) pairwise IoU labels x detections
     iouv: np.ndarray,          # (T,) thresholds
 ) -> np.ndarray:
-    """Greedy IoU matching over thresholds (reference validator.py:229).
-    Returns (N, T) bool correct matrix."""
-    correct = np.zeros((pred_classes.shape[0], iouv.shape[0]), bool)
-    correct_class = true_classes[:, None] == pred_classes[None, :]
-    iou = np.where(correct_class, iou, 0.0)
+    """Two-round claim matching over IoU thresholds. Returns (N, T) bool.
+
+    Protocol (semantics of reference validator.py:229 — which sorts all
+    above-threshold pairs by IoU, dedups detections — which reorders rows by
+    detection index — then dedups labels): every detection claims its single
+    best class-matched label; every label then accepts the claim from the
+    EARLIEST claiming detection (detections arrive confidence-sorted, so
+    earliest = most confident, not highest IoU). We compute that directly —
+    one argmax per detection, then one scatter in descending-index order so
+    the earliest claimant lands last — instead of the reference's sort +
+    double-``np.unique`` pass per threshold.
+    """
+    n, t = pred_classes.shape[0], iouv.shape[0]
+    correct = np.zeros((n, t), bool)
+    if n == 0 or true_classes.shape[0] == 0:
+        return correct
+    iou = np.where(true_classes[:, None] == pred_classes[None, :], iou, 0.0)
+    best_label = iou.argmax(axis=0)              # each detection's claim
+    best_iou = iou[best_label, np.arange(n)]     # strength of that claim
+    desc = np.arange(n)[::-1]                    # descending: earliest writes last
     for i, threshold in enumerate(iouv):
-        matches = np.nonzero(iou >= threshold)
-        matches = np.array(matches).T
-        if matches.shape[0]:
-            if matches.shape[0] > 1:
-                matches = matches[iou[matches[:, 0], matches[:, 1]].argsort()[::-1]]
-                matches = matches[np.unique(matches[:, 1], return_index=True)[1]]
-                matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
-            correct[matches[:, 1].astype(int), i] = True
+        claimants = desc[best_iou[desc] >= threshold]
+        winner = np.full(true_classes.shape[0], -1, np.int64)
+        winner[best_label[claimants]] = claimants   # earliest claim per label
+        correct[winner[winner >= 0], i] = True
     return correct
 
 
