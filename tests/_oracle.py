@@ -181,4 +181,8 @@ def reference_model(cfg_name: str, nc=None):
 
 
 def state_dict_numpy(model):
-    return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    """Numpy snapshot of the state dict. ``.numpy()`` on CPU tensors returns
+    VIEWS of torch's buffers — in-place optimizer/BN updates would silently
+    mutate previously 'captured' weights (burned the round-4 lockstep
+    campaign for a day) — so copy."""
+    return {k: v.detach().cpu().numpy().copy() for k, v in model.state_dict().items()}

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .encoders import layer_norm_2d, window_partition, window_unpartition
+from ...nn.modules import TorchBatchNorm
 
 
 class Conv2dBN(nn.Module):
@@ -43,7 +44,7 @@ class Conv2dBN(nn.Module):
             dtype=x.dtype,
             name="c",
         )(x)
-        return nn.BatchNorm(
+        return TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=x.dtype, name="bn",
         )(x)

@@ -78,6 +78,60 @@ def int8_conv(
     return y.astype(x.dtype) * (sx * sw[0, 0, 0]).astype(x.dtype)
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch running-stat semantics (reference BatchNorm2d as
+    configured by torch_utils.py:333 ``initialize_weights``).
+
+    flax.linen.BatchNorm updates the running variance with the BIASED batch
+    variance; torch uses the UNBIASED (Bessel-corrected) one. The two agree
+    only as n -> inf — at the P5 level of a small training resolution the
+    per-channel count n is tens, a multi-percent running-var divergence that
+    shows up in EMA/eval forwards (found by the round-4 lockstep-trajectory
+    campaign). Normalization itself uses the biased variance in both
+    frameworks. Variable collections/names match flax BatchNorm exactly
+    ('batch_stats' {mean,var}; params {scale,bias}), so checkpoints, the
+    torch weight converter, and every existing test keep working.
+    """
+
+    use_running_average: Optional[bool] = None
+    momentum: float = BN_MOMENTUM  # keep fraction (1 - torch momentum)
+    epsilon: float = BN_EPS
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, use_running_average: Optional[bool] = None
+    ) -> jax.Array:
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        feat = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (feat,)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (feat,)
+        )
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            var = jnp.maximum(jnp.mean(jnp.square(xf), axes) - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                n = x.size // feat  # per-channel sample count (B*H*W)
+                bessel = n / max(n - 1, 1)
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * (var * bessel)
+        dtype = self.dtype or x.dtype
+        mul = (jax.lax.rsqrt(var + self.epsilon) * scale).astype(dtype)
+        return (x - mean.astype(dtype)) * mul + bias.astype(dtype)
+
+
 def autopad(k: int, p: Optional[int] = None, d: int = 1) -> int:
     """'same'-shape padding (reference conv.py:28)."""
     if d > 1:
@@ -136,7 +190,7 @@ class Conv(nn.Module):
                 dtype=x.dtype,
                 name="conv",
             )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
@@ -315,7 +369,7 @@ class DWConv(nn.Module):
             dtype=x.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
@@ -1041,7 +1095,7 @@ class BottleneckCSP(nn.Module):
         cat = jnp.concatenate([y1, y2], -1)
         # eps/momentum: the reference's initialize_weights forces 1e-3/0.03
         # on EVERY BatchNorm2d (torch_utils.py:333-335), this one included
-        cat = nn.BatchNorm(
+        cat = TorchBatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS, name="bn"
         )(cat)
         return Conv(self.c2, 1, 1, name="cv4")(nn.silu(cat), train)
@@ -1111,7 +1165,7 @@ class ConvTransposeBlock(nn.Module):
         if self.p:
             x = x[:, self.p : -self.p, self.p : -self.p]
         if self.bn:
-            x = nn.BatchNorm(
+            x = TorchBatchNorm(
                 use_running_average=not train, momentum=BN_MOMENTUM,
                 epsilon=BN_EPS, name="bn",
             )(x)

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .modules import TorchBatchNorm
 from .transformer import (
     MLP, DeformableTransformerDecoderLayer, inverse_sigmoid,
 )
@@ -48,7 +49,7 @@ class RTDETRDecoder(nn.Module):
                 # trains like every other BN (mutable batch_stats path);
                 # eps/momentum follow the reference's initialize_weights,
                 # which forces 1e-3/0.03 on ALL BatchNorm2d (torch_utils.py:333)
-                nn.BatchNorm(momentum=0.97, epsilon=1e-3),
+                TorchBatchNorm(momentum=0.97, epsilon=1e-3),
             ]
             for _ in self.ch
         ]

@@ -156,9 +156,9 @@ class BNContrastiveHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, w: jax.Array, train: bool = False) -> jax.Array:
-        from .modules import BN_EPS, BN_MOMENTUM
+        from .modules import BN_EPS, BN_MOMENTUM, TorchBatchNorm
 
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM,
             epsilon=BN_EPS, name="norm",
         )(x)

@@ -57,15 +57,25 @@ def lr_schedule(
     return sched
 
 
+def _leaf_name_mask(params, match: str, invert: bool = False) -> Any:
+    def mask_leaf(path, leaf):
+        names = [getattr(p, "key", str(p)) for p in path]
+        hit = names[-1] == match
+        return (not hit) if invert else hit
+
+    return jax.tree_util.tree_map_with_path(mask_leaf, params)
+
+
 def _wd_mask(params) -> Any:
     """True for kernels that should get weight decay: conv/linear weights, not
     biases, not BN scale (reference trainer.py:766-776 group split)."""
-    def mask_leaf(path, leaf):
-        names = [getattr(p, "key", str(p)) for p in path]
-        leaf_name = names[-1]
-        return leaf_name == "kernel"
+    return _leaf_name_mask(params, "kernel")
 
-    return jax.tree_util.tree_map_with_path(mask_leaf, params)
+
+def _bias_mask(params) -> Any:
+    """True for bias leaves — the reference's param group [0], which warms up
+    from warmup_bias_lr instead of 0 (trainer.py:384-393)."""
+    return _leaf_name_mask(params, "bias")
 
 
 def build_optimizer(
@@ -83,13 +93,22 @@ def build_optimizer(
     nbs: int = 64,
     batch_size: int = 16,
     grad_clip_norm: float = 10.0,
+    warmup_bias_lr: float = 0.1,
+    warmup_momentum: float = 0.8,
 ) -> Tuple[optax.GradientTransformation, Callable]:
     """Returns (tx, lr_fn). Matches reference semantics:
     - 'auto' name: AdamW with lr=0.00159 roundlike fit for small epochs is NOT
       replicated; pass an explicit name (the fork default is AdamW, default.yaml:21)
     - weight decay scaled by batch_size * accumulate / nbs (trainer.py:303-306)
+    - AdamW decay is decoupled, SGD/RMSprop decay is coupled into the momentum
+      buffer — exactly torch.optim's orders (round-4 prescribed-grad lockstep)
     - grad clip 10.0 (trainer.py:567)
     - gradient accumulation to nbs via optax.MultiSteps (trainer.py:307)
+    - per-group warmup (trainer.py:384-393): biases warm from warmup_bias_lr
+      down/up to the schedule, everything else from 0; SGD momentum warms from
+      warmup_momentum to momentum. (The reference also ramps `accumulate`
+      during warmup; kept constant here — it only reweights the first nw
+      virtual batches of a multi-step accumulation run.)
 
     Note (round-3 measurement): wrapping this chain in ``optax.flatten`` (one
     fused update over a single concatenated vector instead of ~300 per-tensor
@@ -108,20 +127,58 @@ def build_optimizer(
     )
     lr_fn = lr_schedule(lr0, lrf, epochs, steps_per_epoch, warmup_steps, cos_lr)
 
+    wd = optax.add_decayed_weights(scaled_wd, mask=_wd_mask)
+    is_sgd_like = name.lower() in ("sgd", "rmsprop")
+    if warmup_steps > 0 and is_sgd_like and name.lower() == "sgd":
+        # momentum warms from warmup_momentum -> momentum over the warmup
+        # window (trainer.py:391-393 sets group["momentum"] per batch)
+        def momentum_fn(count):
+            w = jnp.clip(count / max(warmup_steps, 1), 0.0, 1.0)
+            return warmup_momentum + w * (momentum - warmup_momentum)
+
+        trace = optax.inject_hyperparams(
+            optax.trace, static_args=("nesterov",)
+        )(decay=momentum_fn, nesterov=True)
+    else:
+        trace = optax.trace(decay=momentum, nesterov=True)
+
     if name.lower() in ("adamw", "adam", "auto"):
-        base = optax.scale_by_adam(b1=momentum, b2=0.999, eps=1e-8)
+        # decoupled decay (torch AdamW): wd applied AFTER the adam scaling
+        pieces = [optax.scale_by_adam(b1=momentum, b2=0.999, eps=1e-8), wd]
     elif name.lower() == "sgd":
-        base = optax.trace(decay=momentum, nesterov=True)
+        # coupled decay (torch SGD): g += wd*p BEFORE the momentum buffer,
+        # so the decay term accumulates into the velocity exactly as the
+        # reference's torch.optim.SGD does (round-4 lockstep parity)
+        pieces = [wd, trace]
     elif name.lower() == "rmsprop":
-        base = optax.scale_by_rms()
+        pieces = [wd, optax.scale_by_rms()]  # coupled, like torch RMSprop
     else:
         raise ValueError(f"unknown optimizer {name}")
 
+    if warmup_steps > 0 and warmup_bias_lr:
+        # biases warm from warmup_bias_lr, everything else from 0
+        # (trainer.py:388: j == 0 is the bias group)
+        lr_bias = lr_schedule(
+            lr0, lrf, epochs, steps_per_epoch, warmup_steps, cos_lr,
+            warmup_start_frac=warmup_bias_lr / lr0,
+        )
+        lr_pieces = [
+            optax.masked(
+                optax.scale_by_learning_rate(lr_fn),
+                lambda p: _leaf_name_mask(p, "bias", invert=True),
+            ),
+            optax.masked(
+                optax.scale_by_learning_rate(lr_bias),
+                lambda p: _leaf_name_mask(p, "bias"),
+            ),
+        ]
+    else:
+        lr_pieces = [optax.scale_by_learning_rate(lr_fn)]
+
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip_norm),
-        base,
-        optax.add_decayed_weights(scaled_wd, mask=_wd_mask),
-        optax.scale_by_learning_rate(lr_fn),
+        *pieces,
+        *lr_pieces,
     )
     if accumulate > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
