@@ -255,9 +255,53 @@ def bench_infer3d(batch_candidates=(128, 64, 32)):
     return 0.0, 0, 0.0
 
 
+# -- contention guard (VERDICT r3 item 6) ------------------------------------
+# The chip is shared: session-3 captured 3D infer at 1156 img/s where a quiet
+# chip gives ~2168 — a 47% artifact that reads as a regression. A fixed-cost
+# probe (16 chained 4096^2 bf16 matmuls, ~2.2 TFLOP) runs before/between/after
+# the metrics; the final JSON reports the probe spread and flags
+# `contended: true` when the probes disagree by >15% or the best probe sits
+# >10% above the recorded quiet-chip value.
+PROBE_QUIET_MS = 22.6  # min-of-8, quiet v5e via the axon tunnel (round 4)
+
+
+def _make_probe():
+    a = jnp.full((4096, 4096), 0.01, jnp.bfloat16)
+
+    @jax.jit
+    def chain(a):
+        # x*0.5+0.1 between matmuls + full-tensor reduction: a bare chain
+        # with a scalar [0,0] readback lets XLA slice it down to row-vector
+        # products ("250 TF/s"), and even sum() still measured above peak —
+        # the affine epilogue (fused into the matmul) pins every FLOP
+        x = a
+        for _ in range(64):
+            x = (x @ a) * jnp.bfloat16(0.5) + jnp.bfloat16(0.1)
+        return x.sum(dtype=jnp.float32)
+
+    trivial = jax.jit(lambda a: a[0, 0].astype(jnp.float32))
+
+    def probe():
+        float(chain(a)), float(trivial(a))  # compile/warm both
+        ts, rtts = [], []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            float(trivial(a))
+            rtts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(chain(a))
+            ts.append(time.perf_counter() - t0)
+        return (float(np.min(ts)) - float(np.min(rtts))) * 1e3  # ms
+
+    return probe
+
+
 def main():
     from yolov10_3d_tpu.nn.build import build_model
     from yolov10_3d_tpu.ops.postprocess import v10_detections
+
+    probe = _make_probe()
+    probes_ms = [probe()]
 
     hw = 640
     model, spec = build_model("yolov10_3d_tpu/cfg/models/v10/yolov10s.yaml", fast_eval=True)
@@ -306,7 +350,9 @@ def main():
     t_full = timed(fwd, x)
     imgs_per_sec = batch_b / max(t_full - t_rtt, 1e-6)
 
+    probes_ms.append(probe())
     train_ips, train_b, train_dt = bench_train_step()
+    probes_ms.append(probe())
     print(
         json.dumps(
             {
@@ -321,6 +367,7 @@ def main():
         flush=True,
     )
     train3d_ips, train3d_b, train3d_dt = bench_train3d_step()
+    probes_ms.append(probe())
     print(
         json.dumps(
             {
@@ -335,6 +382,7 @@ def main():
         flush=True,
     )
     infer3d_ips, infer3d_b, infer3d_dt = bench_infer3d()
+    probes_ms.append(probe())
     print(
         json.dumps(
             {
@@ -361,6 +409,12 @@ def main():
                 "train3d_vs_baseline": round(train3d_ips / BASELINE_TRAIN3D_IMGS_PER_SEC, 3),
                 "infer3d_imgs_per_sec": round(infer3d_ips, 2),
                 "infer3d_vs_baseline": round(infer3d_ips / BASELINE_INFER3D_IMGS_PER_SEC, 3),
+                "probe_ms": [round(t, 2) for t in probes_ms],
+                "probe_quiet_ms": PROBE_QUIET_MS,
+                "contended": bool(
+                    max(probes_ms) / max(min(probes_ms), 1e-9) > 1.15
+                    or (PROBE_QUIET_MS and min(probes_ms) > 1.10 * PROBE_QUIET_MS)
+                ),
             }
         )
     )

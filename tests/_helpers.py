@@ -121,6 +121,46 @@ def make_kitti_tree(
     return yaml_path
 
 
+def make_overfit2d_tree(root):
+    """8 images, two solid non-overlapping rectangles each; val == train.
+    (Shared by the overfit-to-AP proof and the cross-framework convergence
+    campaign — both must consume literally the same files.)"""
+    from pathlib import Path
+
+    import cv2
+    import numpy as np
+
+    root = Path(root)
+    for split in ("train", "val"):
+        (root / "images" / split).mkdir(parents=True)
+        (root / "labels" / split).mkdir(parents=True)
+        for i in range(8):
+            # val == train: same per-index seed produces identical images
+            r = np.random.default_rng(i)
+            img = np.full((96, 96, 3), 30, np.uint8)
+            lines = []
+            for x0, x1lim in ((2, 44), (50, 92)):  # disjoint horizontal cells
+                c = int(r.integers(0, 2))
+                w = min(int(r.integers(24, 40)), x1lim - x0)
+                h = int(r.integers(24, 44))
+                x1 = x0 + int(r.integers(0, max(x1lim - x0 - w, 1)))
+                y1 = int(r.integers(2, 96 - h - 2))
+                color = (220, 40, 40) if c == 0 else (40, 220, 40)
+                img[y1 : y1 + h, x1 : x1 + w] = color
+                lines.append(
+                    f"{c} {(x1 + w / 2) / 96:.6f} {(y1 + h / 2) / 96:.6f} "
+                    f"{w / 96:.6f} {h / 96:.6f}"
+                )
+            cv2.imwrite(str(root / "images" / split / f"{i}.jpg"), img[..., ::-1])
+            (root / "labels" / split / f"{i}.txt").write_text("\n".join(lines))
+    yaml_path = root / "data.yaml"
+    yaml_path.write_text(
+        f"path: {root}\ntrain: images/train\nval: images/val\n"
+        "names:\n  0: red\n  1: green\n"
+    )
+    return yaml_path
+
+
 @functools.lru_cache(maxsize=None)
 def build_jax(scale: str, h: int = 64, w: int = 64):
     """Build flax model + init variables (jitted init, cached per scale)."""

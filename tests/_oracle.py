@@ -157,7 +157,9 @@ def load_reference():
 
 
 def reference_model(cfg_name: str, nc=None):
-    """Build a reference DetectionModel/YOLOv10_3DDetectionModel from YAML."""
+    """Build a reference DetectionModel/YOLOv10_3DDetectionModel from YAML.
+    ``nc`` overrides the class count (DetectionModel re-parses the YAML with
+    the new nc, exactly what the reference trainer does for custom data)."""
     load_reference()
     from ultralytics.nn.tasks import DetectionModel
 
@@ -175,7 +177,7 @@ def reference_model(cfg_name: str, nc=None):
         d["scale"] = cfg_name.split("_")[0][-1]
         d["yaml_file"] = cfg_name
         cfg = d
-    model = DetectionModel(cfg, verbose=False)
+    model = DetectionModel(cfg, nc=nc, verbose=False)
     model.eval()
     return model
 

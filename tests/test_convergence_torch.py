@@ -1,0 +1,239 @@
+"""Cross-framework CONVERGENCE comparison + trained-weight round trip
+(VERDICT r3 items #1b and #3).
+
+The lockstep campaign (test_lockstep_torch.py) pins per-step semantics; this
+file pins the INTEGRATED claim: training the torch reference and this
+framework on literally the same 8 images with the same hyperparameters
+reaches the same mAP50 — the closest offline approximation of BASELINE.md's
+0.1-mAP north star — and a model trained in either framework can carry its
+weights across through utils/torch_convert / utils/torch_export and keep its
+validation metric.
+
+The torch side drives the reference's own DetectionModel + v10DetectLoss +
+optimizer-group/schedule/EMA semantics (trainer.py:734-786,636-644;
+torch_utils.py:416) directly — the full reference BaseTrainer insists on
+dataset downloads/AMP probes that are offline-gated, but every
+numerics-bearing piece is the real reference code. Both frameworks consume
+the SAME pixel batch (pulled once through our aug-off val loader) and are
+evaluated by the SAME decode + DetMetrics pipeline, so the only free
+variables are the frameworks themselves.
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+# 900 epochs saturates BOTH frameworks at mAP50 0.995 on this set (round-4
+# sweep: torch reaches 0.995 at epoch 600, ours at 900; at 300 the endpoint
+# is chaotic for both — torch measured 0.4975, ours 0.8475)
+EPOCHS = int(os.environ.get("YOLO10_CONV_EPOCHS", "900"))
+LR0, LRF, WD, MOM = 0.003, 0.2, 5e-4, 0.937
+NC = 2
+
+
+def _loader_batch(root):
+    """The 8 overfit images exactly as our val pipeline feeds them.
+    The loader emits uint8 (device-side normalization contract); normalize
+    here once so the torch loop and the manual eval see identical floats."""
+    from yolov10_3d_tpu.data.dataset import DataLoader, YOLODataset
+
+    ds = YOLODataset(root / "images" / "val", imgsz=64, augment=False)
+    loader = DataLoader(ds, 8, shuffle=False, drop_last=False)
+    batch = dict(next(iter(loader)))
+    batch["img"] = np.asarray(batch["img"], np.float32) / 255.0
+    return batch
+
+
+def _gt_arrays(batch):
+    """Per-image (gt_xyxy_pixels, gt_cls) from the padded loader batch."""
+    out = []
+    for i in range(batch["img"].shape[0]):
+        m = np.asarray(batch["mask_gt"][i])
+        b = np.asarray(batch["gt_bboxes"][i])[m]  # xywhn
+        xy, wh = b[:, :2] * 64, b[:, 2:] * 64
+        out.append((
+            np.concatenate([xy - wh / 2, xy + wh / 2], -1),
+            np.asarray(batch["gt_labels"][i])[m],
+        ))
+    return out
+
+
+def _map50_from_one2one(feats_nhwc, batch):
+    """Shared eval pipeline: our NMS-free decode + DetMetrics."""
+    from yolov10_3d_tpu.ops.postprocess import v10_detections
+    from yolov10_3d_tpu.utils.metrics import DetMetrics
+
+    det = v10_detections(
+        [jnp.asarray(f) for f in feats_nhwc], (8, 16, 32), NC,
+        max_det=30, conf=0.001,
+    )
+    boxes = np.asarray(det["boxes"])
+    scores = np.asarray(det["scores"])
+    labels = np.asarray(det["labels"])
+    valid = np.asarray(det["valid"])
+    m = DetMetrics(nc=NC)
+    for i, (gb, gc) in enumerate(_gt_arrays(batch)):
+        v = valid[i]
+        m.process_batch(boxes[i][v], scores[i][v], labels[i][v], gb, gc)
+    return m.results()["mAP50"]
+
+
+def _torch_raw_forward(ref, imgs_nhwc):
+    """Reference model raw {one2many, one2one} with running-stat BN (the
+    validator's numerics): train-mode graph, BN modules in eval."""
+    import torch
+
+    ref.train()
+    for mod in ref.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            mod.eval()
+    with torch.no_grad():
+        preds = ref(torch.from_numpy(
+            np.ascontiguousarray(np.asarray(imgs_nhwc, np.float32).transpose(0, 3, 1, 2))
+        ))
+    return [t.numpy().transpose(0, 2, 3, 1) for t in preds["one2one"]]
+
+
+def _train_torch_reference(ref, batch, epochs):
+    """Train the reference model on the single full batch with the reference's
+    optimizer/schedule/EMA semantics (warmup 0, matching the jax run).
+    Returns the EMA state_dict (what the reference validates with)."""
+    import torch
+    from types import SimpleNamespace
+
+    from _oracle import load_reference
+
+    load_reference()
+    from ultralytics.utils.loss import v10DetectLoss
+
+    from test_lockstep_torch import _torch_model_groups
+
+    ref.train()
+    ref.args = SimpleNamespace(box=7.5, cls=0.5, dfl=1.5)
+    loss_fn = v10DetectLoss(ref)
+
+    g_decay, g_norm, g_bias = _torch_model_groups(ref)
+    opt = torch.optim.AdamW(g_bias, lr=LR0, betas=(MOM, 0.999), weight_decay=0.0)
+    opt.add_param_group({"params": g_decay, "weight_decay": WD})
+    opt.add_param_group({"params": g_norm, "weight_decay": 0.0})
+    lf = lambda e: (1 - e / epochs) * (1.0 - LRF) + LRF
+    sched = torch.optim.lr_scheduler.LambdaLR(opt, lr_lambda=lf)
+
+    x_t = torch.from_numpy(np.ascontiguousarray(
+        np.asarray(batch["img"], np.float32).transpose(0, 3, 1, 2)
+    ))
+    rows = []
+    for i in range(x_t.shape[0]):
+        m = np.asarray(batch["mask_gt"][i])
+        b = np.asarray(batch["gt_bboxes"][i])[m]
+        c = np.asarray(batch["gt_labels"][i])[m]
+        for bb, cc in zip(b, c):
+            rows.append((i, cc, *bb))
+    rows = np.asarray(rows, np.float32)
+    batch_t = {
+        "batch_idx": torch.from_numpy(rows[:, 0]),
+        "cls": torch.from_numpy(rows[:, 1:2]),
+        "bboxes": torch.from_numpy(rows[:, 2:]),
+    }
+
+    ema_sd = {k: v.detach().clone().float() for k, v in ref.state_dict().items()}
+    for step in range(epochs):
+        total, _ = loss_fn(ref(x_t), batch_t)
+        opt.zero_grad()
+        total.backward()
+        torch.nn.utils.clip_grad_norm_(ref.parameters(), max_norm=10.0)
+        opt.step()
+        sched.step()  # 1 batch per epoch
+        d = 0.9999 * (1 - math.exp(-(step + 1) / 2000))
+        msd = ref.state_dict()
+        for k, v in ema_sd.items():
+            if v.dtype.is_floating_point:
+                v *= d
+                v += (1 - d) * msd[k].detach().float()
+    return {k: (v.numpy().copy() if hasattr(v, "numpy") else v) for k, v in ema_sd.items()}
+
+
+@pytest.mark.slow
+def test_convergence_and_roundtrip_2d(tmp_path_factory, tmp_path):
+    import torch
+
+    from _helpers import make_overfit2d_tree
+    from _oracle import reference_model
+    from yolov10_3d_tpu import YOLOv10
+    from yolov10_3d_tpu.utils.torch_convert import convert_torch_state_dict
+    from yolov10_3d_tpu.utils.torch_export import flax_to_torch_state_dict
+
+    try:
+        import cv2  # noqa: F401
+    except ImportError:
+        pytest.skip("cv2 required")
+
+    yaml_path = make_overfit2d_tree(tmp_path_factory.mktemp("conv2d"))
+    root = yaml_path.parent
+    batch = _loader_batch(root)
+
+    # ---- ours: the real facade train (same config as the overfit proof) ----
+    model = YOLOv10("yolov10n.yaml")
+    model.train(
+        data=str(yaml_path), epochs=EPOCHS, imgsz=64, batch=8, workers=2,
+        warmup_epochs=0.0, close_mosaic=0, mosaic=0.0, mixup=0.0, fliplr=0.0,
+        hsv_h=0.0, hsv_s=0.0, hsv_v=0.0, scale=0.0, translate=0.0,
+        patience=10000, amp=False, lr0=LR0, lrf=LRF, optimizer="AdamW",
+        nbs=8, val_period=10**6, save_dir=str(tmp_path / "run"),
+    )
+    ours_val = model.val(data=str(yaml_path), imgsz=64, batch=8)["mAP50"]
+    feats_ours = jax.jit(lambda v, x: model.model.apply(v, x, train=False))(
+        model.variables, jnp.asarray(batch["img"], jnp.float32)
+    )["one2one"]
+    ours_map = _map50_from_one2one(feats_ours, batch)
+
+    # ---- torch reference: same data, same hyperparameters ----
+    torch.manual_seed(0)
+    ref = reference_model("yolov10n", nc=NC)
+    ema_sd = _train_torch_reference(ref, batch, EPOCHS)
+    ref_eval = reference_model("yolov10n", nc=NC)
+    ref_eval.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in ema_sd.items()}
+    )
+    torch_map = _map50_from_one2one(_torch_raw_forward(ref_eval, batch["img"]), batch)
+
+    # ---- the convergence claim ----
+    print(f"[convergence] torch mAP50 {torch_map:.4f}  ours {ours_map:.4f} "
+          f"(facade val {ours_val:.4f})", flush=True)
+    assert torch_map >= 0.9, f"reference failed to overfit: {torch_map}"
+    assert ours_map >= 0.9, f"we failed to overfit: {ours_map} (val {ours_val})"
+    assert abs(ours_map - torch_map) <= 0.1, (ours_map, torch_map)
+
+    # ---- round trip A: OUR trained weights -> reference model ----
+    sd_out = flax_to_torch_state_dict(model.variables)
+    ref_rt = reference_model("yolov10n", nc=NC)
+    missing, unexpected = ref_rt.load_state_dict(
+        {k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd_out.items()},
+        strict=False,
+    )
+    assert not unexpected, unexpected
+    assert all("num_batches_tracked" in k for k in missing), missing
+    feats_rt = _torch_raw_forward(ref_rt, batch["img"])
+    for a, b in zip(feats_ours, feats_rt):
+        np.testing.assert_allclose(
+            np.asarray(a), b, rtol=1e-3, atol=1e-3 * float(np.abs(b).max()),
+            err_msg="ours->torch trained-weight forward",
+        )
+    rt_map = _map50_from_one2one(feats_rt, batch)
+    assert abs(rt_map - ours_map) <= 0.02, (rt_map, ours_map)
+
+    # ---- round trip B: TORCH trained weights -> our model ----
+    v_rt = convert_torch_state_dict(
+        {k: v for k, v in ema_sd.items() if "dfl" not in k},
+        jax.tree.map(np.copy, model.variables), strict=False,
+    )
+    feats_b = jax.jit(lambda v, x: model.model.apply(v, x, train=False))(
+        v_rt, jnp.asarray(batch["img"], jnp.float32)
+    )["one2one"]
+    rt_b_map = _map50_from_one2one(feats_b, batch)
+    assert abs(rt_b_map - torch_map) <= 0.02, (rt_b_map, torch_map)

@@ -8,7 +8,10 @@ NMS-free decode, metrics) can actually LEARN — the reference's equivalent
 evidence is its coco8 smoke-trains plus shipped 500-epoch logs
 (/root/reference/tests/test_python.py, logs/yolov10s.csv).
 
-Calibration (round 3, CPU): 300 epochs -> mAP50 = 0.995. The boxes are laid
+Calibration (round 4, CPU, torch-semantics BN): 900 epochs -> mAP50 = 0.995
+for BOTH this framework and the torch reference trained on the same images
+(tests/test_convergence_torch.py). At 300 epochs the endpoint is chaotic for
+both (ours 0.8475, torch 0.4975 in the round-4 sweep). The boxes are laid
 out in non-overlapping half-image cells: with random placement, later
 rectangles OVERDRAW earlier ones, so occluded GT boxes are unlearnable and
 mAP50 plateaus at ~0.79 no matter how long the train runs.
@@ -25,38 +28,12 @@ import pytest
 def overfit_dataset(tmp_path_factory):
     """8 images, two solid non-overlapping rectangles each; val == train."""
     try:
-        import cv2
+        import cv2  # noqa: F401
     except ImportError:
         pytest.skip("cv2 required")
-    root = tmp_path_factory.mktemp("overfit2d")
-    for split in ("train", "val"):
-        (root / "images" / split).mkdir(parents=True)
-        (root / "labels" / split).mkdir(parents=True)
-        for i in range(8):
-            # val == train: same per-index seed produces identical images
-            r = np.random.default_rng(i)
-            img = np.full((96, 96, 3), 30, np.uint8)
-            lines = []
-            for x0, x1lim in ((2, 44), (50, 92)):  # disjoint horizontal cells
-                c = int(r.integers(0, 2))
-                w = min(int(r.integers(24, 40)), x1lim - x0)
-                h = int(r.integers(24, 44))
-                x1 = x0 + int(r.integers(0, max(x1lim - x0 - w, 1)))
-                y1 = int(r.integers(2, 96 - h - 2))
-                color = (220, 40, 40) if c == 0 else (40, 220, 40)
-                img[y1 : y1 + h, x1 : x1 + w] = color
-                lines.append(
-                    f"{c} {(x1 + w / 2) / 96:.6f} {(y1 + h / 2) / 96:.6f} "
-                    f"{w / 96:.6f} {h / 96:.6f}"
-                )
-            cv2.imwrite(str(root / "images" / split / f"{i}.jpg"), img[..., ::-1])
-            (root / "labels" / split / f"{i}.txt").write_text("\n".join(lines))
-    yaml_path = root / "data.yaml"
-    yaml_path.write_text(
-        f"path: {root}\ntrain: images/train\nval: images/val\n"
-        "names:\n  0: red\n  1: green\n"
-    )
-    return yaml_path
+    from _helpers import make_overfit2d_tree
+
+    return make_overfit2d_tree(tmp_path_factory.mktemp("overfit2d"))
 
 
 @pytest.mark.slow
@@ -127,7 +104,7 @@ def test_overfit_to_map50(overfit_dataset, tmp_path):
     t0 = time.time()
     model.train(
         data=str(overfit_dataset),
-        epochs=300,
+        epochs=900,
         imgsz=64,
         batch=8,
         workers=2,

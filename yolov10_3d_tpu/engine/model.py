@@ -370,12 +370,16 @@ class Model:
         imgsz = kwargs.pop("imgsz", 640)
         out = kwargs.pop("out", None)
         batch = kwargs.pop("batch", 1)
+        int8 = kwargs.pop("int8", False)
+        half = kwargs.pop("half", False)
+        data = kwargs.pop("data", None)
         return Exporter(
             self.model, self.spec, self.variables, self._cfg(kwargs),
             meta={"model_yaml": str(getattr(self, "model_cfg", "")),
                   "names": {int(k): v for k, v in self.names.items()},
                   "train_args": getattr(self, "ckpt_train_args", None)},
-        )(fmt=fmt, imgsz=imgsz, out=out, batch=batch)
+        )(fmt=fmt, imgsz=imgsz, out=out, batch=batch, int8=int8, half=half,
+          data=data)
 
     def add_callback(self, event: str, fn):
         """Register a trainer callback (reference engine/model.py:831
