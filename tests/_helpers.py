@@ -4,6 +4,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from yolov10_3d_tpu.nn.build import build_model
 
@@ -121,10 +122,10 @@ def make_kitti_tree(
     return yaml_path
 
 
-def make_overfit2d_tree(root):
-    """8 images, two solid non-overlapping rectangles each; val == train.
-    (Shared by the overfit-to-AP proof and the cross-framework convergence
-    campaign — both must consume literally the same files.)"""
+def make_overfit2d_tree(root, n_images=8):
+    """n_images images, two solid non-overlapping rectangles each; val ==
+    train. (Shared by the overfit-to-AP proof and the cross-framework
+    convergence campaign — both must consume literally the same files.)"""
     from pathlib import Path
 
     import cv2
@@ -134,7 +135,7 @@ def make_overfit2d_tree(root):
     for split in ("train", "val"):
         (root / "images" / split).mkdir(parents=True)
         (root / "labels" / split).mkdir(parents=True)
-        for i in range(8):
+        for i in range(n_images):
             # val == train: same per-index seed produces identical images
             r = np.random.default_rng(i)
             img = np.full((96, 96, 3), 30, np.uint8)
@@ -157,6 +158,130 @@ def make_overfit2d_tree(root):
     yaml_path.write_text(
         f"path: {root}\ntrain: images/train\nval: images/val\n"
         "names:\n  0: red\n  1: green\n"
+    )
+    return yaml_path
+
+
+def _paint_objects(img, rng, j_base, f, cx, cy, z_range, n_objects, native_w, native_h):
+    """Draw per-instance solid-color 'cars' (apparent size ~ 1/z) with
+    non-overlapping 2D boxes; returns [(x, y, z, ry, box2d xyxy), ...].
+    Same learnability construction as make_kitti_tree(draw_boxes=True)."""
+    import math
+
+    objs, drawn = [], []
+    h3, w3, l3 = 1.8, 2.1, 4.8
+    cells = np.linspace(0.15, 0.85, n_objects + 1)
+    for j in range(n_objects):
+        z = float(rng.uniform(*z_range))
+        u = float(rng.uniform(cells[j] + 0.02, cells[j + 1] - 0.02)) * native_w
+        x = (u - cx) * z / f
+        y = 1.5  # KITTI convention: pos is the bottom-center
+        v = f * (y - h3 / 2) / z + cy
+        bw, bh = f * l3 / z, f * h3 / z
+        x1, y1 = max(u - bw / 2, 0), max(v - bh / 2, 0)
+        x2, y2 = min(u + bw / 2, native_w - 1), min(v + bh / 2, native_h - 1)
+        if x2 - x1 < 12 or y2 - y1 < 12:
+            continue
+        if any(x1 < px2 and px1 < x2 and y1 < py2 and py1 < y2
+               for px1, py1, px2, py2 in drawn):
+            continue
+        drawn.append((x1, y1, x2, y2))
+        color = np.array(
+            [40 + 70 * j, 255 - 80 * j, (60 + 90 * j_base + 50 * j) % 256],
+            np.uint8,
+        )
+        img[int(y1) : int(y2), int(x1) : int(x2)] = color
+        ry = float(rng.uniform(-math.pi, math.pi))
+        objs.append((x, y, z, ry, (x1, y1, x2, y2)))
+    return objs
+
+
+def make_waymo_tree(root, n_images=8, n_objects=2, z_range=(8.0, 16.0)):
+    """Learnable synthetic Waymo-JSON tree (WaymoDataset schema: COCO-like
+    images+annotations, per-image calib P2). val == train."""
+    import json
+    from pathlib import Path
+
+    import cv2
+
+    root = Path(root)
+    (root / "images").mkdir(parents=True)
+    W, H, f = 960, 640, 1000.0
+    P2 = [[f, 0.0, W / 2, 0.0], [0.0, f, H / 2, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    images, annotations = [], []
+    aid = 0
+    for i in range(n_images):
+        rng = np.random.default_rng(100 + i)
+        img = np.full((H, W, 3), 30, np.uint8)
+        for x, y, z, ry, box in _paint_objects(
+            img, rng, i, f, W / 2, H / 2, z_range, n_objects, W, H
+        ):
+            x1, y1, x2, y2 = box
+            annotations.append({
+                "id": aid, "image_id": i, "category_id": 1,  # Car
+                "bbox": [x1, y1, x2 - x1, y2 - y1],
+                "translation": [x, y, z],
+                "dim": [1.8, 2.1, 4.8],  # h, w, l
+                "rotation_y": ry,
+                "num_lidar": 50,
+            })
+            aid += 1
+        cv2.imwrite(str(root / "images" / f"{i}.jpg"), img[..., ::-1])
+        images.append({"id": i, "file_name": f"images/{i}.jpg", "calib": P2})
+    payload = json.dumps({"images": images, "annotations": annotations})
+    (root / "train.json").write_text(payload)
+    (root / "val.json").write_text(payload)
+    yaml_path = root / "waymo_mini.yaml"
+    yaml_path.write_text(
+        f"path: {root}\ntrain: train.json\nval: val.json\n"
+        "names:\n  0: Car\n  1: Pedestrian\n  2: Cyclist\n"
+    )
+    return yaml_path
+
+
+def make_omni_tree(root, n_images=8, n_objects=2, z_range=(8.0, 16.0)):
+    """Learnable synthetic Omni3D-JSON tree (Omni3Dataset schema: K intrinsics,
+    bbox2D_proj, center_cam + R_cam, quality-filter fields). val == train."""
+    import json
+    import math
+    from pathlib import Path
+
+    import cv2
+
+    root = Path(root)
+    (root / "images").mkdir(parents=True)
+    W, H, f = 960, 640, 1000.0
+    K = [[f, 0.0, W / 2], [0.0, f, H / 2], [0.0, 0.0, 1.0]]
+    images, annotations = [], []
+    for i in range(n_images):
+        rng = np.random.default_rng(200 + i)
+        img = np.full((H, W, 3), 30, np.uint8)
+        for x, y, z, ry, box in _paint_objects(
+            img, rng, i, f, W / 2, H / 2, z_range, n_objects, W, H
+        ):
+            c, s = math.cos(ry), math.sin(ry)
+            annotations.append({
+                "image_id": i, "category_id": 1,
+                "bbox2D_proj": list(box),
+                "dimensions": [2.1, 1.8, 4.8],  # w, h, l
+                "center_cam": [x, y - 1.8 / 2, z],  # pos = center + h/2
+                "R_cam": [[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]],
+                "lidar_pts": 50, "behind_camera": False, "visibility": 0.9,
+                "truncation": 0.0, "segmentation_pts": 40, "depth_error": 0.05,
+                "valid3D": True,
+            })
+        cv2.imwrite(str(root / "images" / f"{i}.jpg"), img[..., ::-1])
+        images.append({"id": i, "file_path": f"images/{i}.jpg", "K": K})
+    cats = [{"id": 1, "name": "car"}]
+    payload = json.dumps(
+        {"images": images, "annotations": annotations, "categories": cats}
+    )
+    (root / "train.json").write_text(payload)
+    (root / "val.json").write_text(payload)
+    yaml_path = root / "omni_mini.yaml"
+    yaml_path.write_text(
+        f"path: {root}\ntrain: train.json\nval: val.json\n"
+        "names:\n  0: Car\n  1: Pedestrian\n  2: Cyclist\n"
     )
     return yaml_path
 

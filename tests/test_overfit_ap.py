@@ -95,6 +95,79 @@ def test_overfit3d_to_ap40(tmp_path_factory, tmp_path):
     assert res["metrics/3D"] >= 0.7, (res, took)
 
 
+def _overfit_json3d(make_tree, tmp_root, tmp_path, epochs=250):
+    """Shared Waymo/Omni3D learn-proof (VERDICT r3 item #4): synthetic
+    learnable JSON tree -> real Detection3DTrainer -> dataset.get_stats
+    (KITTI AP40 protocol over exported txts; Waymo also logs the
+    numpy Waymo-protocol AP/APH). The KITTI chain has its own proof above;
+    these pin the JSON dataset encode + eval chains, which round-2's
+    Hungarian pre-threshold bug showed can hide AP-deflating defects."""
+    from yolov10_3d_tpu import YOLOv10_3D
+
+    yaml_path = make_tree(tmp_root)
+    res_wh = [192, 128]
+    model = YOLOv10_3D("yolov10n_3D.yaml")
+    model.train(
+        data=str(yaml_path),
+        epochs=epochs,
+        imgsz=res_wh,
+        kitti_resolution=res_wh,
+        batch=8,
+        workers=2,
+        warmup_epochs=0.0,
+        fliplr=0.0,
+        random_crop=0.0,
+        mixup=0.0,
+        patience=10000,
+        amp=False,
+        lr0=0.003,
+        lrf=0.2,
+        optimizer="AdamW",
+        nbs=8,
+        val_period=10**6,
+        max_depth_threshold=60.0,
+        save_dir=str(tmp_path / "run"),
+    )
+    return model.val(
+        data=str(yaml_path), batch=8, kitti_resolution=res_wh,
+        save_dir=str(tmp_path / "val"),
+    )
+
+
+@pytest.mark.slow
+def test_overfit_waymo_to_ap(tmp_path_factory, tmp_path):
+    """WaymoDataset (JSON schema) trains to a usable AP through the real
+    trainer -> Detection3DValidator -> get_stats chain."""
+    try:
+        import cv2  # noqa: F401
+    except ImportError:
+        pytest.skip("cv2 required")
+    from _helpers import make_waymo_tree
+
+    res = _overfit_json3d(
+        make_waymo_tree, tmp_path_factory.mktemp("waymo_overfit"), tmp_path
+    )
+    assert res["mAP50"] >= 0.8, res
+    assert res["metrics/3D"] >= 0.5, res
+
+
+@pytest.mark.slow
+def test_overfit_omni3d_to_ap(tmp_path_factory, tmp_path):
+    """Omni3Dataset (JSON schema incl. quality filters) trains to a usable AP
+    through the real trainer -> validator -> get_stats chain."""
+    try:
+        import cv2  # noqa: F401
+    except ImportError:
+        pytest.skip("cv2 required")
+    from _helpers import make_omni_tree
+
+    res = _overfit_json3d(
+        make_omni_tree, tmp_path_factory.mktemp("omni_overfit"), tmp_path
+    )
+    assert res["mAP50"] >= 0.8, res
+    assert res["metrics/3D"] >= 0.5, res
+
+
 @pytest.mark.slow
 def test_overfit_to_map50(overfit_dataset, tmp_path):
     """yolov10n overfits 8 images to mAP50 >= 0.9 through the real val loop."""

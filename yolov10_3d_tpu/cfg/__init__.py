@@ -34,7 +34,7 @@ CFG_FRACTION_KEYS = {
 CFG_INT_KEYS = {
     "epochs", "patience", "workers", "seed", "close_mosaic",
     "mask_ratio", "max_det", "vid_stride", "line_width", "workspace", "nbs",
-    "save_period", "val_period", "tal_topk", "close_mixup",
+    "save_period", "val_period", "ckpt_period_steps", "tal_topk", "close_mixup",
 }
 CFG_BOOL_KEYS = {
     "save", "exist_ok", "verbose", "deterministic", "single_cls", "rect",

@@ -37,7 +37,9 @@ class Omni3Dataset(KITTIDataset):
 
         get = (lambda k, d: getattr(args, k, d) if args is not None else d)
         self.max_objs = max_objs
-        self.resolution = OMNI_RESOLUTION.copy()
+        # trainable-resolution override, same knob as KITTI (kitti.py:44)
+        res = get("kitti_resolution", None)
+        self.resolution = np.array(res) if res else OMNI_RESOLUTION.copy()
         self.cls_mean_size = CLS_MEAN_SIZE.copy()
         self.writelist = ["Car", "Pedestrian", "Cyclist"]
         self.use_camera_dis = False

@@ -48,7 +48,9 @@ class WaymoDataset(KITTIDataset):
         # reuse the KITTI init for augment config, then override geometry
         get = (lambda k, d: getattr(args, k, d) if args is not None else d)
         self.max_objs = max_objs
-        self.resolution = WAYMO_RESOLUTION.copy()
+        # trainable-resolution override, same knob as KITTI (kitti.py:44)
+        res = get("kitti_resolution", None)
+        self.resolution = np.array(res) if res else WAYMO_RESOLUTION.copy()
         self.cls_mean_size = WAYMO_MEAN_SIZE.copy()
         self.writelist = ["Car", "Pedestrian", "Cyclist"]
         self.use_camera_dis = False

@@ -247,12 +247,19 @@ class DetectionTrainer:
         start_epoch = 0
         resume_path = None
         resumed_best = None
+        skip_batches = 0
         if args.resume:
             cand = self.save_dir / "weights" / "last.ckpt"
             resume_path = args.resume if isinstance(args.resume, str) else str(cand)
             if Path(resume_path).exists():
                 state, start_epoch, resumed_meta = self.load_resume(resume_path, state)
                 resumed_best = resumed_meta.get("best_fitness")
+                # step-granular resume (round 4): a mid-epoch ckpt records how
+                # many batches of its epoch already ran; re-enter THAT epoch
+                # and skip them (the loader's per-epoch order is seeded)
+                skip_batches = int(resumed_meta.get("batches_done", 0))
+                if skip_batches:
+                    start_epoch = int(resumed_meta.get("epoch", start_epoch))
                 self.on_resume_meta(resumed_meta)
             else:
                 resume_path = None
@@ -279,12 +286,22 @@ class DetectionTrainer:
             if args.close_mosaic and epoch == epochs - args.close_mosaic:
                 train_ds.close_mosaic()
             self.epoch = epoch  # surfaced for callbacks (reference trainer.py:356)
+            # fresh deterministic shuffle per epoch (loader seeds with
+            # seed+epoch; without this every epoch replays epoch-0's order —
+            # round-4 find). Also what makes mid-epoch resume replay exact.
+            loader.epoch = epoch
             self.run_callbacks("on_train_epoch_start")
             extras = self.epoch_batch_extras(epoch)
             t0 = time.time()
             sums = None  # device-side running sums: no per-step host sync
-            nb = 0
+            nb = 0       # loader position (incl. skipped) — ckpt alignment
+            n_run = 0    # batches actually stepped — loss-mean denominator
+            ckpt_every = int(args.get("ckpt_period_steps", 0) or 0)
             for b in loader:
+                if skip_batches > 0:  # step-granular resume: replay position
+                    skip_batches -= 1
+                    nb += 1
+                    continue
                 b = self.transform_batch(b)
                 b = {k: jnp.asarray(v) for k, v in {**b, **extras}.items()}
                 if mesh is not None:
@@ -292,11 +309,24 @@ class DetectionTrainer:
                 state, metrics = pstep(state, b)
                 sums = metrics if sums is None else jax.tree.map(jnp.add, sums, metrics)
                 nb += 1
+                n_run += 1
+                if ckpt_every and nb % ckpt_every == 0 and args.save:
+                    # preemption-safe mid-epoch ckpt: async, atomic,
+                    # step-granular resume point (exceeds the reference's
+                    # epoch-granular last.pt, trainer.py:514-541)
+                    self.save_ckpt(
+                        self.save_dir / "weights" / "last.ckpt", state,
+                        {"epoch": epoch, "batches_done": nb,
+                         "best_fitness": best_fitness or 0.0,
+                         "model_yaml": str(args.model), "nc": nc,
+                         "names": {int(k): v for k, v in names.items()},
+                         **self.extra_ckpt_meta()},
+                    )
             self.state = state
 
             # epoch means (reference trainer.py:429-433 tloss running mean)
             agg = (
-                {k: float(v) / nb for k, v in jax.device_get(sums).items()}
+                {k: float(v) / n_run for k, v in jax.device_get(sums).items()}
                 if sums is not None else {}
             )
             if agg and not all(math.isfinite(v) for v in agg.values()):
@@ -346,16 +376,29 @@ class DetectionTrainer:
             if stopper(epoch, fitness):
                 break
         self.best_fitness = best_fitness or 0.0  # surfaced for Model.tune
+        if getattr(self, "_ckpt_writer", None) is not None:
+            self._ckpt_writer.wait()  # drain async writes before returning
         self.run_callbacks("on_train_end")
         return self.state
 
-    @staticmethod
-    def save_ckpt(path, state: TrainState, meta):
+    @property
+    def ckpt_writer(self):
+        if getattr(self, "_ckpt_writer", None) is None:
+            from ..utils.checkpoint import AsyncCheckpointer
+
+            self._ckpt_writer = AsyncCheckpointer()
+        return self._ckpt_writer
+
+    def save_ckpt(self, path, state: TrainState, meta):
+        """Async checkpoint: device_get here (the only device-side part),
+        serialize + atomic write on the background thread — the train loop
+        never blocks on disk (round-4 preemption story; the reference saves
+        pickled modules synchronously, trainer.py:514-541)."""
         from flax import serialization
 
         host = jax.device_get
         meta = {**meta, "step": int(state.step)}
-        save_checkpoint(
+        self.ckpt_writer.submit(
             path,
             params=host(state.params),
             batch_stats=host(state.batch_stats),

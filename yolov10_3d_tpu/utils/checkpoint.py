@@ -40,11 +40,15 @@ def save_checkpoint(
     tree = jax_to_numpy(tree)
     blob = serialization.msgpack_serialize(tree)
     header = json.dumps(meta or {}).encode()
-    with open(path, "wb") as f:
+    # atomic: write a sibling tmp then rename, so a preemption mid-write can
+    # never leave a truncated last.ckpt (the whole point of frequent saves)
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "wb") as f:
         f.write(MAGIC)
         f.write(len(header).to_bytes(8, "little"))
         f.write(header)
         f.write(blob)
+    tmp.replace(path)
     return str(path)
 
 
@@ -91,3 +95,80 @@ def strip_optimizer(path, out_path=None) -> str:
         opt_state=None,
         meta=meta,
     )
+
+
+class AsyncCheckpointer:
+    """Background-thread checkpoint writer (round-4 preemption story).
+
+    The reference saves pickled modules synchronously at epoch end
+    (trainer.py:514-541); on TPU pods the useful failure unit is the STEP —
+    preemptions strike mid-epoch. Here the caller device_gets the state (the
+    only part that must happen on the live train thread) and hands the host
+    trees off; serialization + atomic write happen off-thread so the train
+    loop never blocks on disk. One in-flight write per path family: a newer
+    submit while busy queues at most one pending write per target and drops
+    superseded ones (last-write-wins semantics — exactly what last.ckpt
+    means). Errors surface on the next submit()/wait().
+    """
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._pending: Dict[str, tuple] = {}
+        self._error: Optional[BaseException] = None
+        self._wake = threading.Event()
+        self._stop = False
+        self._idle = threading.Event()
+        self._idle.set()
+        self._thread = threading.Thread(
+            target=self._run, name="ckpt-writer", daemon=True
+        )
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            self._wake.wait()
+            with self._lock:
+                if not self._pending:
+                    self._wake.clear()
+                    self._idle.set()
+                    if self._stop:
+                        return
+                    continue
+                path, item = next(iter(self._pending.items()))
+                del self._pending[path]
+                self._idle.clear()
+            try:
+                save_checkpoint(path, **item)
+            except BaseException as e:  # surfaced on next submit()/wait()
+                with self._lock:
+                    self._error = e
+            finally:
+                with self._lock:
+                    if not self._pending:
+                        self._idle.set()
+
+    def _raise_pending_error(self):
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("async checkpoint write failed") from err
+
+    def submit(self, path, **save_kwargs):
+        """Queue a write of already-host-resident trees (caller device_gets)."""
+        self._raise_pending_error()
+        with self._lock:
+            self._pending[str(path)] = save_kwargs
+            self._wake.set()
+
+    def wait(self):
+        """Drain all queued writes (call at train end / before reading back)."""
+        import time as _time
+
+        while True:
+            with self._lock:
+                empty = not self._pending
+            if empty and self._idle.is_set():
+                break
+            _time.sleep(0.005)
+        self._raise_pending_error()
