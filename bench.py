@@ -262,10 +262,9 @@ def bench_infer3d(batch_candidates=(128, 64, 32)):
 # the metrics; the final JSON reports the probe spread and flags
 # `contended: true` when the probes disagree by >15% or the best probe sits
 # >10% above the recorded quiet-chip value.
-PROBE_QUIET_MS = 40.0  # min-of-8, quiet v5e via the axon tunnel (round 4:
-# the 16-matmul variant measured 10.1 ms RTT-cancelled; this 64-matmul chain
-# scales to ~40 ms — recalibrate by running bench._make_probe()() on a quiet
-# chip if the constant drifts)
+PROBE_QUIET_MS = 43.1  # min-of-8 RTT-cancelled, quiet v5e via the axon
+# tunnel (round-4 calibration: 5 runs spread 43.1-44.3 ms = ~204 TF/s bf16,
+# chip peak). Recalibrate with bench._make_probe()() if the constant drifts.
 
 
 def _make_probe():

@@ -51,3 +51,45 @@ def test_spd_stem_model_parity():
     for a, b in zip(jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(got)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_spd_serving_predictor_parity(tmp_path):
+    """Predictor(spd_serving=True): the preprocess stage emits the packed
+    (B, H/2, W/2, 12) layout, the serving twin's stem consumes it, and
+    detections are IDENTICAL to the default path (f32; the rewrite is an
+    exact weight repack). Covers both the device-preprocess (uniform uint8)
+    and host-letterbox (in-graph pack) branches."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from yolov10_3d_tpu.cfg import get_cfg
+    from yolov10_3d_tpu.engine.predictor import Predictor
+    from yolov10_3d_tpu.nn.build import build_model
+
+    model, spec = build_model("yolov10_3d_tpu/cfg/models/v10/yolov10n.yaml")
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x0, train=False
+    )
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+
+    base = Predictor(model, spec, variables, get_cfg(None, {}), {0: "x"})
+    packed = Predictor(
+        model, spec, variables, get_cfg(None, {"spd_serving": True}), {0: "x"}
+    )
+    assert packed._spd_packed and not base._spd_packed
+    r0 = base(img, imgsz=64, conf=0.001, max_det=20)[0]
+    r1 = packed(img, imgsz=64, conf=0.001, max_det=20)[0]
+    np.testing.assert_allclose(r1.boxes.data, r0.boxes.data, rtol=1e-5, atol=1e-4)
+
+    # host-letterbox branch (device_preprocess off -> in-graph pack)
+    packed_host = Predictor(
+        model, spec, variables,
+        get_cfg(None, {"spd_serving": True, "device_preprocess": False}),
+        {0: "x"},
+    )
+    r2 = packed_host(img, imgsz=64, conf=0.001, max_det=20)[0]
+    np.testing.assert_allclose(r2.boxes.data, r0.boxes.data, rtol=1e-5, atol=1e-4)

@@ -42,7 +42,7 @@ CFG_BOOL_KEYS = {
     "dnn", "plots", "show", "save_txt", "save_conf", "save_crop",
     "save_frames", "show_labels", "show_conf", "visualize", "augment",
     "agnostic_nms", "retina_masks", "show_boxes", "keras", "optimize",
-    "int8", "dynamic", "simplify", "nms", "profile", "multi_scale",
+    "int8", "dynamic", "simplify", "nms", "profile", "multi_scale", "spd_serving",
     "tal_2d", "tal_3d", "constrain_anchors", "htl", "overfit",
     "distillation", "load_depth_maps", "fgdm_loss", "fgdm_supervision",
     "use_o2m_depth", "use_dino_depth", "plot_labels", "pretrained_backbone",

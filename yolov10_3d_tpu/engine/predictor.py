@@ -177,6 +177,17 @@ class Predictor:
         from ..nn.build import YOLOModel
         from ..nn.heads3d import SPARSE_K
 
+        # spd_serving: the preprocess stage emits the space-to-depth-packed
+        # (B, H/2, W/2, 12) layout and the stem consumes it directly —
+        # measured 1.084x on the model stage at 640^2 B=128 bf16 when the
+        # input arrives packed (tools/exp_spd_serving.py; bit-identical
+        # detections). Opt-in because it changes the device-side layout.
+        spd = (
+            "packed"
+            if (args is not None and args.get("spd_serving"))
+            else model.spd_stem if isinstance(model, YOLOModel) else False
+        )
+        self._spd_packed = spd == "packed"
         if spec.head_module in ("v10Detect", "v10Detect3d") and isinstance(
             model, YOLOModel
         ):
@@ -187,17 +198,28 @@ class Predictor:
                 # head's per-scale candidate set (off-candidate regression=0)
                 sparse_eval=spec.head_module == "v10Detect3d"
                 and int(getattr(args, "max_det", 300) or 300) <= SPARSE_K,
-                spd_stem=model.spd_stem,
+                spd_stem=spd,
             )
+        else:
+            self._spd_packed = False
 
     @functools.lru_cache(maxsize=8)
     def _forward_fn(self, max_det: int):
         """Jitted forward+decode per task; every branch returns a tuple of
         fixed-shape arrays consumed by ``_process_chunk``."""
         spec = self.spec
+        packed = getattr(self, "_spd_packed", False)
 
         def norm(x):
-            return x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
+            x = x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
+            if packed and x.shape[-1] == 3:
+                # host-letterboxed (unpacked) inputs: pack in-graph — parity
+                # with the packed stem, measured cost-neutral (fused-pack row
+                # in tools/exp_spd_serving.py)
+                from ..ops.spd_stem import space_to_depth
+
+                x = space_to_depth(x)
+            return x
 
         if self.task == "detect3d":
             from ..nn.heads3d import SPARSE_K
@@ -314,9 +336,17 @@ class Predictor:
         north-star serving path (ops/pallas_preprocess.serve_preprocess)."""
         from ..ops.pallas_preprocess import serve_preprocess
 
+        packed = getattr(self, "_spd_packed", False)
+
         @jax.jit
         def prep(imgs_u8):
             x = serve_preprocess(imgs_u8, out_hw)
+            if packed:
+                # emit the packed layout here, where the output write exists
+                # anyway — the forward stage then starts at the k2/s1 stem
+                from ..ops.spd_stem import space_to_depth
+
+                x = space_to_depth(x)
             return x
 
         return prep

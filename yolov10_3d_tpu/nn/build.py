@@ -317,6 +317,10 @@ def _build_module(spec: LayerSpec, name: str, extras: Dict[str, Any]):
             and g == 1
             and d == 1
         )
+        if spd and spd_flag == "packed" and spec.i == 0:
+            # serving contract: layer 0 consumes a pre-packed
+            # (B, H/2, W/2, 12) input emitted by the preprocess stage
+            spd = "packed"
         return M.Conv(a[0], k, s, p, g, d, act, spd, name=name)
     if spec.module == "Bottleneck":
         shortcut = a[1] if len(a) > 1 else True

@@ -167,7 +167,9 @@ class Conv(nn.Module):
             # the reference's deform path ignores groups/dilation
             x = DeformableConv2d(self.c2, kh, self.s, ph, name="conv")(x)
         elif self.spd:
-            x = _SPDStemConv(self.c2, name="conv")(x)
+            x = _SPDStemConv(
+                self.c2, packed_input=(self.spd == "packed"), name="conv"
+            )(x)
         elif _INT8_MODE and (_INT8_SCOPE == "all" or (kh >= 3 and self.g == 1)):
             # mixed-precision gate (measured on v5e b=128, PARITY.md round 2):
             # int8 wins ONLY on k>=3 dense convs (1.28-1.81x); 1x1 convs LOSE
@@ -297,17 +299,24 @@ class _SPDStemConv(nn.Module):
     """
 
     c2: int
+    # packed_input: the serving contract where the device-preprocess stage
+    # already emitted the (B, H/2, W/2, 4C) space-to-depth layout; the stem
+    # skips the in-model pack (measured 0.95x when packed in the same jit)
+    packed_input: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from ..ops.spd_stem import spd_stem_conv
+        from ..ops.spd_stem import packed_stem_conv, spd_stem_conv
 
+        c_in = x.shape[-1] // 4 if self.packed_input else x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (3, 3, x.shape[-1], self.c2),
+            (3, 3, c_in, self.c2),
             jnp.float32,
         )
+        if self.packed_input:
+            return packed_stem_conv(x, kernel)
         return spd_stem_conv(x, kernel)
 
 

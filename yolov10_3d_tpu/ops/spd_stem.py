@@ -49,17 +49,22 @@ def repack_stem_kernel(kernel: jax.Array) -> jax.Array:
     return k.reshape(2, 2, 4 * C, O)
 
 
-def spd_stem_conv(x: jax.Array, kernel: jax.Array) -> jax.Array:
-    """Exactly Conv(k=3, s=2, p=1, bias=False)(x) via space-to-depth.
+def packed_stem_conv(p: jax.Array, kernel: jax.Array) -> jax.Array:
+    """The k2/s1 half of the rewrite over an ALREADY-PACKED (B,H/2,W/2,4C)
+    input — the serving contract where the producer stage (device preprocess)
+    emits the packed layout and the in-model space_to_depth is skipped.
 
     `kernel` is the ORIGINAL (3,3,C,O) stem kernel; repacking happens inside
-    (it is a few hundred bytes of data movement, fused away by XLA).
-    """
-    p = space_to_depth(x)
+    (a few hundred bytes of data movement, fused away by XLA)."""
     return jax.lax.conv_general_dilated(
         p,
-        repack_stem_kernel(kernel).astype(x.dtype),
+        repack_stem_kernel(kernel).astype(p.dtype),
         window_strides=(1, 1),
         padding=((1, 0), (1, 0)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+
+
+def spd_stem_conv(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Exactly Conv(k=3, s=2, p=1, bias=False)(x) via space-to-depth."""
+    return packed_stem_conv(space_to_depth(x), kernel)
