@@ -237,3 +237,141 @@ def test_convergence_and_roundtrip_2d(tmp_path_factory, tmp_path):
     )["one2one"]
     rt_b_map = _map50_from_one2one(feats_b, batch)
     assert abs(rt_b_map - torch_map) <= 0.02, (rt_b_map, torch_map)
+
+
+def _torch_3d_batch(batch):
+    """Padded KITTIDataset batch -> the reference DDDetectionLoss flat-row
+    batch dict (the mapping pinned by tests/test_loss3d_parity.py)."""
+    import torch
+
+    rows = {k: [] for k in (
+        "batch_idx", "cls", "bboxes", "center_2d", "size_2d", "center_3d",
+        "size_3d", "depth", "heading_bin", "heading_res",
+    )}
+    B = batch["img"].shape[0]
+    for i in range(B):
+        m = np.asarray(batch["mask_gt"][i])
+        n = int(m.sum())
+        rows["batch_idx"].append(np.full(n, i, np.float32))
+        rows["cls"].append(np.asarray(batch["gt_labels"][i])[m].astype(np.float32)[:, None])
+        rows["bboxes"].append(np.asarray(batch["gt_bboxes"][i])[m])
+        rows["center_2d"].append(np.asarray(batch["gt_center_2d"][i])[m])
+        rows["size_2d"].append(np.asarray(batch["gt_size_2d"][i])[m])
+        rows["center_3d"].append(np.asarray(batch["gt_center_3d"][i])[m])
+        rows["size_3d"].append(np.asarray(batch["gt_size_3d"][i])[m])
+        rows["depth"].append(np.asarray(batch["gt_depth"][i])[m])
+        rows["heading_bin"].append(np.asarray(batch["gt_heading_bin"][i])[m])
+        rows["heading_res"].append(np.asarray(batch["gt_heading_res"][i])[m])
+    out = {k: torch.from_numpy(np.concatenate(v).astype(np.float32))
+           for k, v in rows.items()}
+    out["calib"] = torch.from_numpy(np.asarray(batch["calib"], np.float32))
+    out["mean_sizes"] = torch.from_numpy(np.asarray(batch["mean_sizes"][0], np.float32))
+    return out
+
+
+def _train_torch_reference_3d(ref, batch, epochs, lr0=0.003, lrf=0.2):
+    """Train the reference yolov10n-3D (model + DetectLoss3d + reference
+    optimizer/schedule/EMA semantics) on one full synthetic-KITTI batch."""
+    import torch
+    from types import SimpleNamespace
+
+    from _oracle import load_reference
+
+    load_reference()
+    from ultralytics.utils.loss import DetectLoss3d
+
+    from test_lockstep_torch import _torch_model_groups
+    from test_loss3d_parity import HYP
+
+    ref.train()
+    ref.args = SimpleNamespace(
+        **HYP, fgdm_loss=False, fgdm_supervision=False, box=7.5, dfl=1.5
+    )
+    loss_fn = DetectLoss3d(ref)
+
+    g_decay, g_norm, g_bias = _torch_model_groups(ref)
+    opt = torch.optim.AdamW(g_bias, lr=lr0, betas=(MOM, 0.999), weight_decay=0.0)
+    opt.add_param_group({"params": g_decay, "weight_decay": WD})
+    opt.add_param_group({"params": g_norm, "weight_decay": 0.0})
+    lf = lambda e: (1 - e / epochs) * (1.0 - lrf) + lrf
+    sched = torch.optim.lr_scheduler.LambdaLR(opt, lr_lambda=lf)
+
+    x_t = torch.from_numpy(np.ascontiguousarray(
+        np.asarray(batch["img"], np.float32).transpose(0, 3, 1, 2) / 255.0
+    ))
+    batch_t = _torch_3d_batch(batch)
+    ema_sd = {k: v.detach().clone().float() for k, v in ref.state_dict().items()}
+    for step in range(epochs):
+        total, _ = loss_fn(ref(x_t), batch_t)
+        opt.zero_grad()
+        total.backward()
+        torch.nn.utils.clip_grad_norm_(ref.parameters(), max_norm=10.0)
+        opt.step()
+        sched.step()
+        d = 0.9999 * (1 - math.exp(-(step + 1) / 2000))
+        msd = ref.state_dict()
+        for k, v in ema_sd.items():
+            if v.dtype.is_floating_point:
+                v *= d
+                v += (1 - d) * msd[k].detach().float()
+    return {k: (v.numpy().copy() if hasattr(v, "numpy") else v)
+            for k, v in ema_sd.items()}
+
+
+@pytest.mark.slow
+def test_convergence_3d_torch_to_our_validator(tmp_path_factory, tmp_path):
+    """The 3D half of the cross-framework campaign: the torch reference
+    (model + DetectLoss3d + its optimizer semantics) trains on OUR synthetic
+    KITTI batch (same generator and protocol as test_overfit3d_to_ap40, where
+    THIS framework reaches AP40(3d@0.70, moderate) >= 0.7), then its trained
+    EMA weights cross through utils/torch_convert into our Detection3DValidator
+    and must reach a comparable AP — simultaneously the 3D trained-weight
+    round trip (VERDICT r3 items 1b + 3, 3D half)."""
+    import torch
+
+    try:
+        import cv2  # noqa: F401
+    except ImportError:
+        pytest.skip("cv2 required")
+    from _helpers import make_kitti_tree
+    from _oracle import reference_model, state_dict_numpy
+    from yolov10_3d_tpu import YOLOv10_3D
+    from yolov10_3d_tpu.data.kitti import KITTIDataset
+    from yolov10_3d_tpu.data.dataset import DataLoader
+    from yolov10_3d_tpu.utils.torch_convert import convert_torch_state_dict
+
+    epochs = int(os.environ.get("YOLO10_CONV3D_EPOCHS", "300"))
+    res_wh = [320, 96]
+    yaml_path = make_kitti_tree(
+        tmp_path_factory.mktemp("conv3d"), n_images=8, draw_boxes=True,
+        val_all=True, z_range=(8.0, 25.0), n_objects=2,
+    )
+
+    class A:  # the aug-off args the overfit proof trains with
+        kitti_resolution = res_wh
+        fliplr = 0.0
+        random_crop = 0.0
+        mixup = 0.0
+        max_depth_threshold = 60.0
+
+    ds = KITTIDataset(root=yaml_path.parent, split="train", args=A())
+    batch = next(iter(DataLoader(ds, 8, shuffle=False, drop_last=False)))
+
+    torch.manual_seed(0)
+    ref = reference_model("yolov10n_3D")
+    ema_sd = _train_torch_reference_3d(ref, batch, epochs)
+
+    # trained torch weights -> our model -> our real val pipeline
+    m = YOLOv10_3D("yolov10n_3D.yaml")
+    m.variables = convert_torch_state_dict(
+        {k: v for k, v in ema_sd.items() if "dfl" not in k},
+        jax.tree.map(np.copy, m.variables), strict=False,
+    )
+    res = m.val(
+        data=str(yaml_path), batch=8, kitti_resolution=res_wh,
+        save_dir=str(tmp_path / "val3d"),
+    )
+    print(f"[convergence3d] torch-trained via our validator: "
+          f"mAP50 {res['mAP50']:.4f} AP40-3D {res['metrics/3D']:.4f}", flush=True)
+    assert res["mAP50"] >= 0.8, res
+    assert res["metrics/3D"] >= 0.5, res
