@@ -267,6 +267,23 @@ PROBE_QUIET_MS = 43.1  # min-of-8 RTT-cancelled, quiet v5e via the axon
 # chip peak). Recalibrate with bench._make_probe()() if the constant drifts.
 
 
+HOST_PROBE_QUIET_MS = 88.0  # median of 5 on the idle round-4 box (84.6-93.4)
+
+
+def _host_probe() -> float:
+    """Pure-Python fixed-work loop (ms): measures OUR CORE's availability.
+    The chip probe misses host contention — round 4's bench captured the 3D
+    train step at 10.9 img/s (true: ~192) while another process owned the
+    single CPU core; per-step dispatch of a ~300-leaf train state starved,
+    yet the chip probes moved only +5%. A saturated competing process
+    roughly doubles this loop's time."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(2_000_000):
+        s += i
+    return (time.perf_counter() - t0) * 1e3
+
+
 def _make_probe():
     a = jnp.full((4096, 4096), 0.01, jnp.bfloat16)
 
@@ -304,6 +321,7 @@ def main():
 
     probe = _make_probe()
     probes_ms = [probe()]
+    host_ms = [_host_probe()]
 
     hw = 640
     model, spec = build_model("yolov10_3d_tpu/cfg/models/v10/yolov10s.yaml", fast_eval=True)
@@ -353,8 +371,10 @@ def main():
     imgs_per_sec = batch_b / max(t_full - t_rtt, 1e-6)
 
     probes_ms.append(probe())
+    host_ms.append(_host_probe())
     train_ips, train_b, train_dt = bench_train_step()
     probes_ms.append(probe())
+    host_ms.append(_host_probe())
     print(
         json.dumps(
             {
@@ -370,6 +390,7 @@ def main():
     )
     train3d_ips, train3d_b, train3d_dt = bench_train3d_step()
     probes_ms.append(probe())
+    host_ms.append(_host_probe())
     print(
         json.dumps(
             {
@@ -385,6 +406,7 @@ def main():
     )
     infer3d_ips, infer3d_b, infer3d_dt = bench_infer3d()
     probes_ms.append(probe())
+    host_ms.append(_host_probe())
     print(
         json.dumps(
             {
@@ -413,9 +435,14 @@ def main():
                 "infer3d_vs_baseline": round(infer3d_ips / BASELINE_INFER3D_IMGS_PER_SEC, 3),
                 "probe_ms": [round(t, 2) for t in probes_ms],
                 "probe_quiet_ms": PROBE_QUIET_MS,
+                "host_probe_ms": [round(t, 2) for t in host_ms],
+                "host_probe_quiet_ms": HOST_PROBE_QUIET_MS,
                 "contended": bool(
                     max(probes_ms) / max(min(probes_ms), 1e-9) > 1.15
                     or (PROBE_QUIET_MS and min(probes_ms) > 1.10 * PROBE_QUIET_MS)
+                    or max(host_ms) / max(min(host_ms), 1e-9) > 1.5
+                    or (HOST_PROBE_QUIET_MS
+                        and min(host_ms) > 1.5 * HOST_PROBE_QUIET_MS)
                 ),
             }
         )

@@ -213,13 +213,17 @@ def test_benchmark_formats_table(tmp_path):
     rows = benchmark_formats(m, imgsz=64, out_dir=str(tmp_path))
     by_fmt = {r["format"]: r for r in rows}
     assert set(by_fmt) == {
-        "ckpt", "stablehlo", "tf_saved_model", "tflite", "pb", "onnx"
+        "ckpt", "stablehlo", "tf_saved_model", "tflite", "tflite-fp16",
+        "tflite-int8", "pb", "onnx"
     }
     for fmt, r in by_fmt.items():
         assert r["status"] == "✅", (fmt, r.get("error"))
         assert r["latency_ms"] > 0 and r["size_mb"] > 0
     assert by_fmt["stablehlo"]["match"] and by_fmt["tf_saved_model"]["match"]
     assert by_fmt["pb"]["match"] and by_fmt["onnx"]["match"]
+    # quantized artifacts must actually shrink
+    assert by_fmt["tflite-int8"]["size_mb"] < 0.4 * by_fmt["tflite"]["size_mb"]
+    assert by_fmt["tflite-fp16"]["size_mb"] < 0.6 * by_fmt["tflite"]["size_mb"]
 
 
 def test_profile_models_and_sigma_clipping():

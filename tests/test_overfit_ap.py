@@ -90,9 +90,11 @@ def test_overfit3d_to_ap40(tmp_path_factory, tmp_path):
     took = f"{time.time() - t0:.0f}s"
     # 2D localization must be essentially solved on the train set...
     assert res["mAP50"] >= 0.9, (res, took)
-    # ...and the 3D protocol (AP40, 3D IoU 0.70, moderate) near-saturated:
-    # depth within ~0.7 m, memorized ry, constant dims
-    assert res["metrics/3D"] >= 0.7, (res, took)
+    # ...and the 3D protocol (AP40, 3D IoU 0.70, moderate) must clear a
+    # PERCENT-unit bar (eval/kitti_eval._ap scales by 100 — round-4 find:
+    # this bar was near-vacuous at 0.7%; recalibrated to 40%, comfortably
+    # below the proof's achieved value but far above chance)
+    assert res["metrics/3D"] >= 40.0, (res, took)
 
 
 def _overfit_json3d(make_tree, tmp_root, tmp_path, epochs=250):
@@ -147,8 +149,13 @@ def test_overfit_waymo_to_ap(tmp_path_factory, tmp_path):
     res = _overfit_json3d(
         make_waymo_tree, tmp_path_factory.mktemp("waymo_overfit"), tmp_path
     )
-    assert res["mAP50"] >= 0.8, res
-    assert res["metrics/3D"] >= 0.5, res
+    # metrics/3D is the KITTI-protocol AP40 3d@0.70 moderate in PERCENT
+    # (eval/kitti_eval._ap scales by 100). Round-4 calibration at 250 epochs,
+    # 192x128: mAP50 0.995, 3D 17.5, Waymo-protocol VEHICLE_L2/APH 0.79 —
+    # the strict 0.7-IoU 3D bar is depth-limited at this tiny resolution,
+    # so the learn-proof asserts roughly half the calibrated value.
+    assert res["mAP50"] >= 0.9, res
+    assert res["metrics/3D"] >= 8.0, res
 
 
 @pytest.mark.slow
@@ -164,8 +171,10 @@ def test_overfit_omni3d_to_ap(tmp_path_factory, tmp_path):
     res = _overfit_json3d(
         make_omni_tree, tmp_path_factory.mktemp("omni_overfit"), tmp_path
     )
-    assert res["mAP50"] >= 0.8, res
-    assert res["metrics/3D"] >= 0.5, res
+    # percent units; round-4 calibration: mAP50 0.995, 3D 22.5 (see the
+    # Waymo twin above for the units/resolution discussion)
+    assert res["mAP50"] >= 0.9, res
+    assert res["metrics/3D"] >= 10.0, res
 
 
 @pytest.mark.slow

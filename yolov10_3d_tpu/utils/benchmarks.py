@@ -74,7 +74,8 @@ def _dir_size_mb(path) -> float:
 def benchmark_formats(
     facade,
     imgsz: int = 64,
-    formats=("ckpt", "stablehlo", "tf_saved_model", "tflite", "pb", "onnx"),
+    formats=("ckpt", "stablehlo", "tf_saved_model", "tflite", "tflite-fp16",
+             "tflite-int8", "pb", "onnx"),
     out_dir: str = "runs/benchmark",
     iters: int = 5,
 ):
@@ -105,8 +106,10 @@ def benchmark_formats(
         try:
             # suffix-bearing formats must keep their extension: AutoBackend
             # dispatches on it
+            base_fmt, _, variant = fmt.partition("-")
             dest = out / (
-                f"model.{fmt}" if fmt in ("tflite", "pb", "onnx") else f"model_{fmt}"
+                f"model_{variant or 'f32'}.{base_fmt}"
+                if base_fmt in ("tflite", "pb", "onnx") else f"model_{fmt}"
             )
             if fmt == "ckpt":
                 from .checkpoint import save_checkpoint
@@ -122,7 +125,11 @@ def benchmark_formats(
                     },
                 )
             else:
-                path = ex(fmt=fmt, imgsz=imgsz, max_det=10, out=str(dest))
+                path = ex(
+                    fmt=base_fmt, imgsz=imgsz, max_det=10, out=str(dest),
+                    half=variant == "fp16", int8=variant == "int8",
+                    data=(x if variant == "int8" else None),
+                )
             backend = AutoBackend(path, max_det=10)
             outs = backend.forward(x)
             boxes = next(
