@@ -372,6 +372,9 @@ def test_convergence_3d_torch_to_our_validator(tmp_path_factory, tmp_path):
         save_dir=str(tmp_path / "val3d"),
     )
     print(f"[convergence3d] torch-trained via our validator: "
-          f"mAP50 {res['mAP50']:.4f} AP40-3D {res['metrics/3D']:.4f}", flush=True)
+          f"mAP50 {res['mAP50']:.4f} AP40-3D {res['metrics/3D']:.4f}%", flush=True)
+    # metrics/3D is in PERCENT (kitti_eval._ap scales by 100); the 2D bar is
+    # the load-bearing cross-framework assertion, the 3D bar guards against
+    # a zero/garbage conversion (tighten after a full 300-epoch calibration)
     assert res["mAP50"] >= 0.8, res
-    assert res["metrics/3D"] >= 0.5, res
+    assert res["metrics/3D"] >= 5.0, res
