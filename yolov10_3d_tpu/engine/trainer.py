@@ -221,12 +221,27 @@ class DetectionTrainer:
         )
         steps_per_epoch = max(len(loader), 1)
 
+        # optimizer=auto: the reference's fitted rule (trainer.py:757-764) —
+        # SGD for long runs, AdamW with an nc-fitted lr for short ones, and
+        # bias warmup capped at 0 (Adam can't take the 0.1 bias warmup spike)
+        opt_name, lr0, mom = args.optimizer, args.lr0, args.momentum
+        warmup_bias_lr = float(args.get("warmup_bias_lr", 0.1) or 0.0)
+        if str(opt_name).lower() == "auto":
+            from ..train.optim import resolve_auto_optimizer
+
+            opt_name, lr0, mom, warmup_bias_lr = resolve_auto_optimizer(
+                spec.nc, len(train_ds), batch, args.nbs, args.epochs
+            )
+            LOGGER.info(
+                f"optimizer: 'auto' -> {opt_name}(lr={lr0}, momentum={mom})"
+            )
+
         tx, lr_fn = build_optimizer(
             variables["params"],
-            name=args.optimizer,
-            lr0=args.lr0,
+            name=opt_name,
+            lr0=lr0,
             lrf=args.lrf,
-            momentum=args.momentum,
+            momentum=mom,
             weight_decay=args.weight_decay,
             epochs=args.epochs,
             steps_per_epoch=steps_per_epoch,
@@ -234,6 +249,8 @@ class DetectionTrainer:
             cos_lr=args.cos_lr,
             nbs=args.nbs,
             batch_size=batch,
+            warmup_bias_lr=warmup_bias_lr,
+            warmup_momentum=float(args.get("warmup_momentum", 0.8) or 0.0),
         )
         step_fn = make_train_step(
             model, tx, nc=spec.nc, strides=spec.strides,
@@ -283,7 +300,14 @@ class DetectionTrainer:
 
         epochs = args.epochs
         for epoch in range(start_epoch, epochs):
-            if args.close_mosaic and epoch == epochs - args.close_mosaic:
+            if (
+                args.close_mosaic
+                and epoch == epochs - args.close_mosaic
+                # classify datasets have no mosaic stage (found by the
+                # classify overfit proof: 30 epochs crossed the default
+                # close_mosaic=10 boundary for the first time)
+                and hasattr(train_ds, "close_mosaic")
+            ):
                 train_ds.close_mosaic()
             self.epoch = epoch  # surfaced for callbacks (reference trainer.py:356)
             # fresh deterministic shuffle per epoch (loader seeds with

@@ -78,6 +78,21 @@ def _bias_mask(params) -> Any:
     return _leaf_name_mask(params, "bias")
 
 
+def resolve_auto_optimizer(
+    nc: int, n_samples: int, batch: int, nbs: int, epochs: int
+) -> Tuple[str, float, float, float]:
+    """The reference's ``optimizer=auto`` rule (trainer.py:757-764): SGD for
+    long runs (>10k iterations), AdamW with an nc-fitted lr for short ones;
+    bias warmup forced to 0 either way (Adam can't take the 0.1 spike).
+    Returns (name, lr0, momentum, warmup_bias_lr)."""
+    import math
+
+    iterations = math.ceil(n_samples / max(batch, nbs)) * epochs
+    if iterations > 10000:
+        return "SGD", 0.01, 0.9, 0.0
+    return "AdamW", round(0.002 * 5 / (4 + nc), 6), 0.9, 0.0
+
+
 def build_optimizer(
     params,
     *,
@@ -129,18 +144,20 @@ def build_optimizer(
 
     wd = optax.add_decayed_weights(scaled_wd, mask=_wd_mask)
     is_sgd_like = name.lower() in ("sgd", "rmsprop")
-    if warmup_steps > 0 and is_sgd_like and name.lower() == "sgd":
+    nesterov = name.lower() == "sgd"  # torch RMSprop's buffer is plain momentum
+    if warmup_steps > 0 and is_sgd_like:
         # momentum warms from warmup_momentum -> momentum over the warmup
-        # window (trainer.py:391-393 sets group["momentum"] per batch)
+        # window (trainer.py:391-393 interps group["momentum"] per batch for
+        # EVERY group that has one — SGD and RMSprop alike)
         def momentum_fn(count):
             w = jnp.clip(count / max(warmup_steps, 1), 0.0, 1.0)
             return warmup_momentum + w * (momentum - warmup_momentum)
 
         trace = optax.inject_hyperparams(
             optax.trace, static_args=("nesterov",)
-        )(decay=momentum_fn, nesterov=True)
+        )(decay=momentum_fn, nesterov=nesterov)
     else:
-        trace = optax.trace(decay=momentum, nesterov=True)
+        trace = optax.trace(decay=momentum, nesterov=nesterov)
 
     if name.lower() in ("adamw", "adam", "auto"):
         # decoupled decay (torch AdamW): wd applied AFTER the adam scaling
@@ -151,7 +168,15 @@ def build_optimizer(
         # reference's torch.optim.SGD does (round-4 lockstep parity)
         pieces = [wd, trace]
     elif name.lower() == "rmsprop":
-        pieces = [wd, optax.scale_by_rms()]  # coupled, like torch RMSprop
+        # torch RMSprop(momentum=m) as the reference builds it
+        # (trainer.py:779): coupled wd, nu decay alpha=0.99 (NOT optax's 0.9
+        # default), eps OUTSIDE the sqrt, then a momentum buffer on the
+        # rms-scaled step
+        pieces = [
+            wd,
+            optax.scale_by_rms(decay=0.99, eps=1e-8, eps_in_sqrt=False),
+            trace,
+        ]
     else:
         raise ValueError(f"unknown optimizer {name}")
 
