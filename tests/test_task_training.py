@@ -121,3 +121,39 @@ def test_val_after_train_with_different_nc(tmp_path):
     assert m.spec.nc == 2
     res = m.val(data=data, imgsz=64, batch=2)
     assert "fitness" in res and np.isfinite(res["fitness"])
+
+
+def test_classification_overfit_top1(tmp_path):
+    """The classify chain LEARNS through the REAL aug pipeline: two
+    solid-color classes overfit to top-1 ~1.0 (geometric aug left on; color
+    policy/jitter off because color IS the label signal). Pins the
+    classify_aug -> ClassificationDataset -> trainer -> validator chain the
+    same way the detect/3D overfit proofs pin theirs."""
+    import cv2
+
+    for ci, cls in enumerate(("red", "green")):
+        d = tmp_path / "train" / cls
+        d.mkdir(parents=True)
+        col = np.array([220, 40, 40] if ci == 0 else [40, 220, 40], np.int32)
+        for i in range(4):
+            noise = np.random.default_rng(10 * ci + i).integers(
+                -20, 20, (64, 64, 3)
+            )
+            img = np.clip(col + noise, 0, 255).astype(np.uint8)
+            cv2.imwrite(str(d / f"{i}.jpg"), img[..., ::-1])
+    data = _yaml(tmp_path, "train")
+    from yolov10_3d_tpu.engine.model import YOLO
+
+    m = YOLO("yolov8-cls.yaml")
+    m.train(
+        # 200 epochs = 200 steps: the loss is solved by ~step 15, but eval
+        # forwards use BN RUNNING stats (momentum 0.97 keep) which still carry
+        # (0.97)^N of the f32 init — at N=40 that 30% residual drops eval
+        # top-1 to chance while train-mode acc is 1.0; N=200 leaves 0.2%
+        data=data, epochs=200, batch=8, nbs=8, imgsz=64, workers=0, amp=False,
+        lr0=0.01, warmup_epochs=0.0, auto_augment="", erasing=0.0,
+        hsv_h=0.0, hsv_s=0.0, hsv_v=0.0, scale=0.2, patience=10**6,
+        val_period=10**6, save_dir=str(tmp_path / "run"),
+    )
+    res = m.val(data=data, imgsz=64, batch=8)
+    assert res["metrics/accuracy_top1"] >= 0.99, res

@@ -209,9 +209,24 @@ class PoseEvalDataset(YOLODataset):
 
 class ClassificationDataset:
     """root/<class dirs>/images (reference data/dataset.py:227). Emits
-    {img (imgsz, imgsz, 3) uint8, gt_labels ()} per sample."""
+    {img (imgsz, imgsz, 3) uint8, gt_labels ()} per sample.
 
-    def __init__(self, root, imgsz: int = 224, augment: bool = False):
+    Train (augment=True) runs the reference's classify_augmentations pipeline
+    (random-resized-crop, flips, auto_augment policy / color jitter, random
+    erasing — data/classify_aug.py); val runs classify_transforms (shortest-
+    edge resize + crop_fraction center crop). Normalization stays in the
+    jitted preprocess (the reference's ToTensor/Normalize with mean 0 std 1,
+    augment.py:20-21)."""
+
+    def __init__(
+        self,
+        root,
+        imgsz: int = 224,
+        augment: bool = False,
+        hyp: Optional[Dict] = None,
+        seed: int = 0,
+        crop_fraction: float = 1.0,
+    ):
         from .utils import IMG_FORMATS
 
         root = Path(root)
@@ -225,8 +240,13 @@ class ClassificationDataset:
             for f in sorted((root / c).rglob("*"))
             if f.suffix.lstrip(".").lower() in IMG_FORMATS
         ]
-        self.imgsz = imgsz
+        self.imgsz = (
+            int(imgsz) if isinstance(imgsz, (int, float)) else int(max(imgsz))
+        )
         self.augment = augment
+        self.hyp = dict(hyp) if hyp else {}
+        self.crop_fraction = float(crop_fraction or 1.0)
+        self.rng = np.random.default_rng(seed)
         self.names = dict(enumerate(self.classes))
 
     def __len__(self):
@@ -235,10 +255,16 @@ class ClassificationDataset:
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         from PIL import Image
 
+        from .classify_aug import classify_train_augment, classify_val_transform
+
         path, cls = self.samples[i]
-        img = Image.open(path).convert("RGB").resize((self.imgsz, self.imgsz))
+        img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+        if self.augment:
+            img = classify_train_augment(img, self.imgsz, self.rng, self.hyp)
+        else:
+            img = classify_val_transform(img, self.imgsz, self.crop_fraction)
         return {
-            "img": np.asarray(img, np.uint8),
+            "img": np.ascontiguousarray(img),
             "gt_labels": np.asarray(cls, np.int32),
         }
 

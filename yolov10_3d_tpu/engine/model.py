@@ -232,7 +232,10 @@ class Model:
             from ..data.dataset_tasks import ClassificationDataset
             from .validator_tasks import ClassificationValidator
 
-            ds = ClassificationDataset(val_root, imgsz=kwargs.get("imgsz", 224))
+            ds = ClassificationDataset(
+                val_root, imgsz=kwargs.get("imgsz", 224),
+                crop_fraction=kwargs.get("crop_fraction", 1.0),
+            )
             loader = DataLoader(ds, batch, shuffle=False, drop_last=False)
             return ClassificationValidator(self.model, self.spec, args, ds.names)(
                 self.variables, loader

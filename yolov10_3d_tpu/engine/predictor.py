@@ -385,7 +385,23 @@ class Predictor:
                 return jax.device_put(arr, batch_sharding(self.mesh))
             return jnp.asarray(arr)
 
-        if uniform:
+        if self.task == "classify":
+            # the reference predicts classify through classify_transforms
+            # (shortest-edge resize + center crop), NOT letterbox — matching
+            # the val pipeline keeps train/val/predict statistics identical
+            from ..data.classify_aug import classify_val_transform
+
+            size = int(imgsz if isinstance(imgsz, int) else max(imgsz))
+            cf = (
+                float(self.args.get("crop_fraction", 1.0) or 1.0)
+                if self.args is not None else 1.0
+            )
+            batch = np.stack(
+                [classify_val_transform(im, size, cf) for im in imgs]
+            )
+            x = h2d(batch)  # uint8; the jitted norm() scales /255
+            model_hw = batch.shape[1:3]
+        elif uniform:
             x = self._device_preprocess_fn(tuple(shape))(h2d(np.stack(imgs)))
             model_hw = tuple(shape)
         else:

@@ -181,8 +181,22 @@ class ClassificationTrainer(DetectionTrainer):
     def build_dataset(self, path, mode: str):
         from ..data.dataset_tasks import ClassificationDataset
 
+        a = self.args
         return ClassificationDataset(
-            path, imgsz=self.args.imgsz, augment=(mode == "train")
+            path,
+            imgsz=a.imgsz,
+            augment=(mode == "train"),
+            # the reference threads these args into classify_augmentations /
+            # classify_transforms (dataset.py:268-283)
+            hyp={
+                k: a.get(k)
+                for k in (
+                    "scale", "fliplr", "flipud", "auto_augment",
+                    "hsv_h", "hsv_s", "hsv_v", "erasing",
+                )
+            },
+            seed=int(a.get("seed", 0) or 0),
+            crop_fraction=float(a.get("crop_fraction", 1.0) or 1.0),
         )
 
     def init_params(self, model, spec, variables):
