@@ -173,3 +173,71 @@ def test_trainer3d_accepts_dino_teacher(tmp_path):
     with open(run / "results.csv") as f:
         rows = list(csv.DictReader(f))
     assert "dis" in rows[0] and math.isfinite(float(rows[0]["dis"]))
+
+
+def test_dino_path_loads_saved_depther(tmp_path):
+    """cfg-driven teacher (reference val.py:65 dino_model.load(dino_path)):
+    a reference-layout .pt (backbone.* public dinov2 names + head.* ConvHead
+    keys) round-trips through Detection3DTrainer._load_dino_teacher and the
+    loaded teacher reproduces the source weights' outputs exactly."""
+    import torch
+
+    import yolov10_3d_tpu.models.dino as dino_mod
+    from yolov10_3d_tpu.engine.trainer3d import Detection3DTrainer
+
+    old = dino_mod.DINOV2_ARCHS["small"]
+    dino_mod.DINOV2_ARCHS["small"] = dict(
+        embed_dim=TINY["embed_dim"], depth=TINY["depth"],
+        num_heads=TINY["num_heads"],
+    )
+    try:
+        model = DinoDepther(backbone_size="small")
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(3), jnp.zeros((1, 224, 224, 3), jnp.float32)
+        )
+        p = jax.device_get(variables["params"])
+        bs = jax.device_get(variables["batch_stats"])
+        # torch-named state dict exactly as the reference's .save() lays it out
+        sd = {}
+        b = p["backbone"]
+        sd["backbone.cls_token"] = b["cls_token"]
+        sd["backbone.pos_embed"] = b["pos_embed"]
+        sd["backbone.patch_embed.proj.weight"] = b["patch_embed_proj"]["kernel"].transpose(3, 2, 0, 1)
+        sd["backbone.patch_embed.proj.bias"] = b["patch_embed_proj"]["bias"]
+        for i in range(TINY["depth"]):
+            blk, t = b[f"blocks_{i}"], f"backbone.blocks.{i}"
+            for ln in ("norm1", "norm2"):
+                sd[f"{t}.{ln}.weight"] = blk[ln]["scale"]
+                sd[f"{t}.{ln}.bias"] = blk[ln]["bias"]
+            for src, dst in (("qkv", "attn.qkv"), ("proj", "attn.proj")):
+                sd[f"{t}.{dst}.weight"] = blk["attn"][src]["kernel"].T
+                sd[f"{t}.{dst}.bias"] = blk["attn"][src]["bias"]
+            sd[f"{t}.ls1.gamma"] = blk["ls1"]["gamma"]
+            sd[f"{t}.ls2.gamma"] = blk["ls2"]["gamma"]
+            sd[f"{t}.mlp.fc1.weight"] = blk["mlp_fc1"]["kernel"].T
+            sd[f"{t}.mlp.fc1.bias"] = blk["mlp_fc1"]["bias"]
+            sd[f"{t}.mlp.fc2.weight"] = blk["mlp_fc2"]["kernel"].T
+            sd[f"{t}.mlp.fc2.bias"] = blk["mlp_fc2"]["bias"]
+        sd["backbone.norm.weight"] = b["norm"]["scale"]
+        sd["backbone.norm.bias"] = b["norm"]["bias"]
+        sd["head.conv_depth.weight"] = p["head"]["conv_depth"]["kernel"].transpose(3, 2, 0, 1)
+        sd["head.conv_depth.bias"] = p["head"]["conv_depth"]["bias"]
+        sd["head.bn.weight"] = p["head"]["bn"]["scale"]
+        sd["head.bn.bias"] = p["head"]["bn"]["bias"]
+        sd["head.bn.running_mean"] = bs["head"]["bn"]["mean"]
+        sd["head.bn.running_var"] = bs["head"]["bn"]["var"]
+        path = tmp_path / "depther.pt"
+        torch.save({k: torch.from_numpy(np.asarray(v).copy()) for k, v in sd.items()}, path)
+
+        teacher = Detection3DTrainer._load_dino_teacher(str(path))
+        ref = make_dino_teacher(variables, backbone_size="small")
+        x = jnp.asarray(
+            np.random.default_rng(5).uniform(0, 1, (2, 56, 70, 3)).astype(np.float32)
+        )
+        d_got, e_got = teacher(x)
+        d_ref, e_ref = ref(x)
+        assert d_got.shape == (2, 56, 70)
+        np.testing.assert_allclose(np.asarray(d_got), np.asarray(d_ref), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(e_got), np.asarray(e_ref), rtol=1e-5, atol=1e-6)
+    finally:
+        dino_mod.DINOV2_ARCHS["small"] = old

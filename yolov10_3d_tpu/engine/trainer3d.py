@@ -175,6 +175,86 @@ class Detection3DTrainer(DetectionTrainer):
             b["teacher_embeddings"] = np.asarray(out)
         return b
 
+    @staticmethod
+    def _load_dino_teacher(path: str):
+        """``dino_path`` -> frozen depth teacher (reference val.py:65 /
+        loss.py:1145 ``self.dino_model.load(self.args.dino_path)``).
+
+        Accepts the reference DinoDepther ``.save()`` layout — a torch
+        state_dict with ``backbone.*`` (public dinov2 names) and ``head.*``
+        keys — or a bare dinov2 backbone state_dict, as ``.pt`` or ``.npz``.
+        The backbone converts exactly (``convert_dinov2_state_dict``); the
+        1x1-conv depth head maps when its keys are recognizable, else stays
+        at init with a warning (the distillation signal — embeddings — is
+        backbone-only either way)."""
+        import numpy as np
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.dino import (
+            DINOV2_ARCHS, DinoDepther, convert_dinov2_state_dict,
+            make_dino_teacher,
+        )
+        from ..utils import LOGGER
+
+        if str(path).endswith(".npz"):
+            sd = {k: np.asarray(v) for k, v in np.load(path).items()}
+        else:
+            import torch
+
+            raw = torch.load(path, map_location="cpu", weights_only=False)
+            if isinstance(raw, dict) and "state_dict" in raw:
+                raw = raw["state_dict"]
+            sd = {
+                k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+                for k, v in raw.items()
+            }
+        bb = {k[len("backbone."):]: v for k, v in sd.items() if k.startswith("backbone.")}
+        if not bb:
+            bb = sd  # bare dinov2 backbone checkpoint (torch.hub layout)
+        dim = int(np.asarray(bb["cls_token"]).shape[-1])
+        size = next(
+            (n for n, a in DINOV2_ARCHS.items() if a["embed_dim"] == dim), None
+        )
+        if size is None:
+            raise ValueError(
+                f"dino_path embed_dim {dim} matches no DINOv2 arch "
+                f"({ {n: a['embed_dim'] for n, a in DINOV2_ARCHS.items()} })"
+            )
+        model = DinoDepther(backbone_size=size)
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
+        )
+        params = dict(variables["params"])
+        params["backbone"] = convert_dinov2_state_dict(bb, size)
+        head = {k[len("head."):]: np.asarray(v) for k, v in sd.items() if k.startswith("head.")}
+        if head:
+            try:
+                batch_stats = jax.device_get(variables.get("batch_stats", {}))
+                hp = dict(params["head"])
+                hp["conv_depth"] = {
+                    "kernel": head["conv_depth.weight"].transpose(2, 3, 1, 0),
+                    "bias": head["conv_depth.bias"],
+                }
+                hp["bn"] = {"scale": head["bn.weight"], "bias": head["bn.bias"]}
+                batch_stats = dict(batch_stats)
+                batch_stats["head"] = {"bn": {
+                    "mean": head["bn.running_mean"], "var": head["bn.running_var"],
+                }}
+                params["head"] = hp
+                variables = {"params": params, "batch_stats": batch_stats}
+            except KeyError as e:
+                LOGGER.warning(
+                    f"dino_path head keys not recognized ({e}); depth head "
+                    "stays at init (embeddings are unaffected)"
+                )
+                variables = {**variables, "params": params}
+        else:
+            variables = {**variables, "params": params}
+        LOGGER.info(f"dino teacher loaded from {path} (dinov2 {size})")
+        return make_dino_teacher(variables, backbone_size=size)
+
     def make_loss(self, spec):
         from ..train.loss3d import detect3d_loss
 
@@ -192,12 +272,22 @@ class Detection3DTrainer(DetectionTrainer):
                 depth_max=float(hyp.get("max_depth_threshold", 120.0)),
             )
 
+        if (
+            (hyp.get("distillation") or hyp.get("fgdm_supervision"))
+            and self.teacher is None
+            and hyp.get("dino_path")
+        ):
+            # cfg-driven teacher: dino_path names a saved DINOv2 state dict
+            # (the reference hardwires torch.hub dinov2, utils/dino.py:70;
+            # offline we load the same weights from disk instead)
+            self.teacher = self._load_dino_teacher(str(hyp["dino_path"]))
         if (hyp.get("distillation") or hyp.get("fgdm_supervision")) and self.teacher is None:
             from ..utils import LOGGER
 
             LOGGER.warning(
                 "distillation/fgdm_supervision configured but no teacher is "
-                "set — pass Model.train(teacher=...) or set trainer.teacher; "
+                "set — pass Model.train(teacher=...), set trainer.teacher, "
+                "or point dino_path at a saved DINOv2 state dict; "
                 "the distillation terms are SKIPPED this run"
             )
         head_distill_fn = None
