@@ -32,6 +32,7 @@ def make_kitti_tree(
     n_objects: int = 3,
     z_range=(8.0, 40.0),
     val_all: bool = False,
+    x_in_frame: bool = False,
 ):
     """Synthetic KITTI tree: images + plausible Car labels + calib + split
     files; optional deepseg instance masks (pixel = label row index,
@@ -68,10 +69,16 @@ def make_kitti_tree(
         lines = []
         drawn = []
         for j in range(n_objects):
-            x = float(rng.uniform(-8, 8))
             z = float(rng.uniform(*z_range))
             y = 1.65
             h, w, l = 1.5, 1.65, 3.9
+            if x_in_frame:
+                # keep the WHOLE box inside the frame (near-z proofs: at
+                # z<15, |x| up to 8 m projects mostly off-frame and clips)
+                xmax = max((560.0 / 721.5377) * z - l / 2, 0.5)
+                x = float(rng.uniform(-xmax, xmax))
+            else:
+                x = float(rng.uniform(-8, 8))
             ry = float(rng.uniform(-math.pi, math.pi))
             u = 721.5377 * x / z + 609.5593
             v = 721.5377 * (y - h / 2) / z + 172.854
