@@ -171,3 +171,41 @@ def test_kitti_val_e2e(kitti_root, tmp_path):
     out = validator(variables, ds, loader, save_dir=str(tmp_path))
     assert "metrics/3D" in out and np.isfinite(out["metrics/3D"])
     assert (tmp_path / "preds" / "000000.txt").exists()
+
+
+def test_fixture_x_in_frame_boxes_unclipped(tmp_path):
+    """x_in_frame=True must place every 2D box STRICTLY inside the frame —
+    the near-z learn-proofs rely on unclipped apparent size (bw = f*l/z) as
+    the depth signal; a clipped box breaks that proportionality silently."""
+    try:
+        import cv2  # noqa: F401
+    except ImportError:
+        pytest.skip("cv2 required")
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from _helpers import make_kitti_tree
+
+    f = 721.5377
+    yaml_path = make_kitti_tree(
+        tmp_path / "k", n_images=6, draw_boxes=True, n_objects=3,
+        z_range=(8.0, 15.0), x_in_frame=True,
+    )
+    n = 0
+    for lbl in sorted((yaml_path.parent / "training" / "label_2").glob("*.txt")):
+        for line in lbl.read_text().splitlines():
+            p = line.split()
+            x1, y1, x2, y2 = map(float, p[4:8])
+            h, w, l, _, _, z = map(float, p[8:14])
+            # strictly inside (the fixture clamps at 0/1241/374; equality
+            # would mean a clip happened)
+            assert 0.0 < x1 < x2 < 1241.0 and 0.0 < y1 < y2 < 374.0, line
+            # unclipped width/height match the pinhole projection (0.3 px
+            # absorbs the label file's 2-decimal rounding of x1/x2/z — a
+            # real clip is tens of pixels)
+            assert abs((x2 - x1) - f * l / z) < 0.3, line
+            assert abs((y2 - y1) - f * h / z) < 0.3, line
+            n += 1
+    # overlap-skip + min-size filters drop some of the 18 candidates;
+    # the narrowed near-z x-range must still leave a learnable set
+    assert n >= 8, n

@@ -4,8 +4,15 @@
 solid color-coded rectangles; depth ~ box width, ry memorizable from color)
 and print the metrics/3D (= Car 3D AP40 moderate @0.7 IoU) trajectory.
 
-Usage: python tools/exp_overfit3d.py [epochs] [val_period]
+Usage: python tools/exp_overfit3d.py [epochs] [val_period] [zmax] [in_frame]
 Runs on CPU (same platform as the test suite).
+
+Round-4 finding: at z_range=(8,25) / 320x96 the strict 3d@0.70 metric is
+depth-limited (AP40 = 14.0 at 300 epochs even with mAP50 0.995 — ~0.7 m
+depth tolerance for a 3.9 m car vs ~2 m/px apparent-size sensitivity at
+z=25). The near-z in-frame fixture (zmax 15, in_frame 1) roughly doubles
+the tolerance and removes frame-clipped boxes, so the proof can carry a
+meaningful strict-3D bar.
 """
 
 import os
@@ -28,6 +35,8 @@ from _helpers import make_kitti_tree
 
 EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 400
 VAL_PERIOD = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+ZMAX = float(sys.argv[3]) if len(sys.argv) > 3 else 25.0
+IN_FRAME = bool(int(sys.argv[4])) if len(sys.argv) > 4 else False
 RES = [320, 96]
 
 
@@ -37,7 +46,7 @@ def main():
     tmp = Path(tempfile.mkdtemp(prefix="overfit3d_"))
     yaml_path = make_kitti_tree(
         tmp / "kitti", n_images=8, draw_boxes=True, n_objects=2,
-        z_range=(8.0, 25.0), val_all=True,
+        z_range=(8.0, ZMAX), val_all=True, x_in_frame=IN_FRAME,
     )
     model = YOLOv10_3D("yolov10n_3D.yaml")
     t0 = time.time()
