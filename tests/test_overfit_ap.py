@@ -38,9 +38,11 @@ def overfit_dataset(tmp_path_factory):
 
 @pytest.mark.slow
 def test_overfit3d_to_ap40(tmp_path_factory, tmp_path):
-    """yolov10n-3D overfits 8 synthetic KITTI images to a high AP40
-    (3d@0.70, moderate) through the REAL train -> Detection3DValidator ->
-    kitti_eval pipeline (VERDICT r2 item 5, the 3D half).
+    """yolov10n-3D overfits 8 synthetic KITTI images: 2D essentially solved
+    (mAP50 >= 0.9) plus a measured strict-3D bar (AP40 3d@0.70 moderate)
+    through the REAL train -> Detection3DValidator -> kitti_eval pipeline
+    (VERDICT r2 item 5, the 3D half; bar calibration in PARITY.md round-4
+    session-4 notes).
 
     The fixture paints each object as a distinct solid color (apparent size
     ~ 1/z gives depth signal; the per-instance color lets the net memorize
