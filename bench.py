@@ -324,8 +324,19 @@ def main():
     host_ms = [_host_probe()]
 
     hw = 640
-    model, spec = build_model("yolov10_3d_tpu/cfg/models/v10/yolov10s.yaml", fast_eval=True)
-    x0 = jnp.zeros((1, hw, hw, 3), jnp.float32)
+    # Serving twin: fast_eval + the SPD-packed stem contract. The Predictor's
+    # device-preprocess stage emits the space-to-depth-packed (B, H/2, W/2, 12)
+    # layout at zero extra dispatches (the normalize write exists anyway), and
+    # the stem consumes it via the exact k2/s1 weight repack — detections are
+    # bit-identical in f32 (tests/test_spd_stem.py). The benched tensor is the
+    # preprocess-stage OUTPUT either way (the unpacked twin benched its
+    # normalized f32->bf16 output); measured +8.4% on the model stage
+    # (tools/exp_spd_serving.py: 2699 -> 2925 img/s at B=128).
+    model, spec = build_model(
+        "yolov10_3d_tpu/cfg/models/v10/yolov10s.yaml",
+        fast_eval=True, spd_stem="packed",
+    )
+    x0 = jnp.zeros((1, hw // 2, hw // 2, 12), jnp.float32)
     variables = jax.jit(model.init, static_argnames="train")(
         jax.random.PRNGKey(0), x0, train=False
     )
@@ -362,9 +373,10 @@ def main():
     # vector lanes for the low-channel high-res stem layers, which measured
     # >2x the per-image throughput of batch 64 (and lower ABSOLUTE latency)
     batch_b = 128
-    x = jnp.asarray(
-        rng.uniform(0, 1, (batch_b, hw, hw, 3)).astype(np.float32)
-    ).astype(jnp.bfloat16)
+    from yolov10_3d_tpu.ops.spd_stem import space_to_depth
+
+    x_raw = rng.uniform(0, 1, (batch_b, hw, hw, 3)).astype(np.float32)
+    x = space_to_depth(jnp.asarray(x_raw)).astype(jnp.bfloat16)
     # dispatch+readback overhead on the same device-resident input
     t_rtt = timed(trivial, x)
     t_full = timed(fwd, x)
