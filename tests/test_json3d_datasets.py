@@ -101,3 +101,35 @@ def test_omni3d_dataset(omni_root):
     assert item["img"].shape == (640, 960, 3)
     assert int(item["mask_gt"].sum()) == 1
     assert abs(float(item["gt_depth"][0]) - 25.0) < 1e-3
+
+
+def test_waymo_get_stats_fitness_is_waymo_protocol(waymo_root, tmp_path):
+    """Fitness from WaymoDataset.get_stats is the Waymo-protocol
+    VEHICLE_L2/AP (reference waymo.py:408-426 parses exactly this cell of
+    the official tool's table), with the KITTI-protocol AP40 kept as a
+    cross-check attribute. Perfect GT-echo predictions -> AP ~= 1.0."""
+    from yolov10_3d_tpu.data.waymo import WaymoDataset
+
+    ds = WaymoDataset(waymo_root, split="val")
+    results = {}
+    for item in range(len(ds)):
+        idx = ds.sample_id(item)
+        rows = []
+        for o in ds.get_label(idx):
+            rows.append([
+                0.0,  # cls id (Car)
+                0.0,  # alpha
+                o.box2d[0], o.box2d[1], o.box2d[2], o.box2d[3],
+                o.h, o.w, o.l,
+                o.pos[0], o.pos[1], o.pos[2], o.ry,
+                0.95,  # score
+            ])
+        results[f"{idx:06d}.txt"] = rows
+    fitness = ds.get_stats(results, str(tmp_path))
+    assert fitness == pytest.approx(ds.waymo_metrics["VEHICLE_L2/AP"])
+    assert fitness == pytest.approx(1.0, abs=0.02), ds.waymo_metrics
+    # the KITTI-protocol cross-check is still computed (percent units; its
+    # moderate-difficulty box-height filters discard most of this tiny
+    # fixture, so only finiteness is asserted — the fitness above is the
+    # protocol-correct number)
+    assert np.isfinite(ds.kitti_protocol_ap)

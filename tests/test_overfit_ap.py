@@ -155,13 +155,14 @@ def test_overfit_waymo_to_ap(tmp_path_factory, tmp_path):
     res = _overfit_json3d(
         make_waymo_tree, tmp_path_factory.mktemp("waymo_overfit"), tmp_path
     )
-    # metrics/3D is the KITTI-protocol AP40 3d@0.70 moderate in PERCENT
-    # (eval/kitti_eval._ap scales by 100). Round-4 calibration at 250 epochs,
-    # 192x128: mAP50 0.995, 3D 17.5, Waymo-protocol VEHICLE_L2/APH 0.79 —
-    # the strict 0.7-IoU 3D bar is depth-limited at this tiny resolution,
-    # so the learn-proof asserts roughly half the calibrated value.
+    # metrics/3D is now the Waymo-protocol VEHICLE_L2/AP in [0,1] (round-5:
+    # fitness promoted from the KITTI-protocol AP40 to the Waymo metric the
+    # reference's own get_stats parses out of the official tool's table,
+    # waymo.py:408-426). Round-4 calibration at 250 epochs, 192x128:
+    # mAP50 0.995, Waymo-protocol VEHICLE_L2/APH 0.79 (AP >= APH always) —
+    # the learn-proof asserts roughly half the calibrated value.
     assert res["mAP50"] >= 0.9, res
-    assert res["metrics/3D"] >= 8.0, res
+    assert res["metrics/3D"] >= 0.4, res
 
 
 @pytest.mark.slow

@@ -332,9 +332,6 @@ class KITTIDataset:
             out["depth_map"] = dm.astype(np.float32)
         return out
 
-    def close_mosaic(self):
-        """Reference disables mixup near the end (close_mixup)."""
-        self.mixup = 0.0
 
     # -- eval I/O (reference kitti.py:444-464) --
     def save_results(self, results: Dict[str, List], output_dir) -> str:

@@ -208,6 +208,7 @@ class DetectionTrainer:
 
         root = Path(data.get("path", "."))
         train_ds = self.build_dataset(root / data["train"], "train")
+        self.train_ds = train_ds  # observable by callbacks (close_mosaic/mixup)
         val_ds = self.build_dataset(root / data["val"], "val") if args.val else None
 
         n_dev = len(jax.devices())
@@ -309,6 +310,18 @@ class DetectionTrainer:
                 and hasattr(train_ds, "close_mosaic")
             ):
                 train_ds.close_mosaic()
+            if (
+                args.get("close_mixup", 0)
+                and epoch == epochs - args.close_mixup
+                # reference trainer.py:368-371 + :730-732: mixup is closed at
+                # its OWN epoch boundary, independently of close_mosaic, by
+                # zeroing the dataset's mixup attribute (KITTI-style datasets
+                # carry one; 2D YOLODataset mixup lives inside the transform
+                # pipeline and is untouched, matching the reference hasattr).
+                and hasattr(train_ds, "mixup")
+            ):
+                train_ds.mixup = 0.0
+                LOGGER.info("Disabled mixup on dataset")
             self.epoch = epoch  # surfaced for callbacks (reference trainer.py:356)
             # fresh deterministic shuffle per epoch (loader seeds with
             # seed+epoch; without this every epoch replays epoch-0's order —

@@ -87,6 +87,38 @@ class Detection3DValidator:
         self.spec = spec
         self.args = args
         self.names = names or {i: str(i) for i in range(spec.nc)}
+        self.dino_teacher = None  # lazy, loaded on first use_dino_depth batch
+
+    def _dino_depth_pred(self, preds: np.ndarray, img) -> np.ndarray:
+        """Substitute predicted depths with teacher-inferred depths at the
+        predicted 3D centers (reference val.py:61-76 ``dino_depth_pred``):
+        the frozen DINOv2 depth teacher runs on the val images, and each
+        detection's depth (column 33) is replaced by the teacher depth map
+        sampled at its projected center (columns 4:6, model-input pixels,
+        clamped to the map)."""
+        import jax.numpy as jnp
+
+        if self.dino_teacher is None:
+            from .trainer3d import Detection3DTrainer
+
+            path = getattr(self.args, "dino_path", None)
+            if not path:
+                raise ValueError(
+                    "use_dino_depth=True requires dino_path to point at a "
+                    "saved DinoDepther/dinov2 checkpoint (reference val.py:65)"
+                )
+            self.dino_teacher = Detection3DTrainer._load_dino_teacher(str(path))
+        imgs = jnp.asarray(img)
+        if imgs.dtype == jnp.uint8:
+            imgs = imgs.astype(jnp.float32) / 255.0
+        depth_maps = np.asarray(self.dino_teacher(imgs)[0])  # (B, H, W)
+        preds = preds.copy()
+        H, W = depth_maps.shape[1], depth_maps.shape[2]
+        cx = np.clip(preds[..., 4].astype(np.int64), 0, W - 1)
+        cy = np.clip(preds[..., 5].astype(np.int64), 0, H - 1)
+        b = np.arange(preds.shape[0])[:, None]
+        preds[..., 33] = depth_maps[b, cy, cx]
+        return preds
 
     @functools.lru_cache(maxsize=4)
     def _forward_fn(self, max_det: int, with_o2m: bool = False):
@@ -140,6 +172,7 @@ class Detection3DValidator:
         use_o2m_depth = use_o2m_depth or bool(
             getattr(self.args, "use_o2m_depth", False)
         )
+        use_dino_depth = bool(getattr(self.args, "use_dino_depth", False))
         fwd = self._forward_fn(int(max_det), use_o2m_depth)
         metrics2d = DetMetrics(nc=self.spec.nc, names=self.names)
         all_results: Dict[str, List] = {}
@@ -158,6 +191,11 @@ class Detection3DValidator:
                     [regM, scoresM[..., None], labelsM[..., None].astype(np.float32)], -1
                 )
                 preds = aggregate_o2m_depth(preds, predsM)
+                reg = preds[..., :35]
+            elif use_dino_depth:
+                # reference val.py:56-58: dino override only when the o2m
+                # KDE aggregation is off (elif)
+                preds = self._dino_depth_pred(preds, img)
                 reg = preds[..., :35]
             img_ids = np.asarray(batch["img_id"]).reshape(-1)
             calibs = [dataset.get_calib(int(i)) for i in img_ids]
