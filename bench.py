@@ -35,6 +35,33 @@ BASELINE_IMGS_PER_SEC = 1205.0  # ~A100 TRT-FP16 estimate for YOLOv10-S @640
 # train throughput for S; we use 350 as the per-accelerator baseline.
 BASELINE_TRAIN_IMGS_PER_SEC = 350.0
 
+PEAK_TFLOPS_BF16 = 197.0  # TPU v5e single-chip bf16 peak; MFU denominator.
+# (The contention probe's 64-matmul chain measures ~204 TF/s effective —
+# the fused affine epilogue adds FLOPs the cost model doesn't count.)
+
+
+def _cost_tflops(fn, *args):
+    """TFLOPs of ONE call of an (optionally jitted) fn per XLA cost analysis
+    (HLO flops; the same machinery as utils/profiling.flops). None when the
+    backend exposes no cost model — callers omit the mfu fields then."""
+    try:
+        lowered = fn.lower(*args) if hasattr(fn, "lower") else jax.jit(fn).lower(*args)
+        c = lowered.compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        f = float(c.get("flops", -1.0))
+        return f / 1e12 if f > 0 else None
+    except Exception:
+        return None
+
+
+def _mfu_fields(tflops, dt):
+    """{"tflops_per_sec", "mfu"} for a call costing `tflops` taking `dt` s."""
+    if not tflops or not dt or dt <= 0:
+        return {}
+    eff = tflops / dt
+    return {"tflops_per_sec": round(eff, 1), "mfu": round(eff / PEAK_TFLOPS_BF16, 3)}
+
 
 def bench_train_step(batch_candidates=(128, 64, 32)):
     """YOLOv10-S 640^2 train-step img/s/chip: forward + v10 dual loss +
@@ -92,7 +119,7 @@ def bench_train_step(batch_candidates=(128, 64, 32)):
                 state, metrics = step_fn(state, batch)
             float(metrics["loss"])  # fence: wait for the chained steps
             dt = (time.perf_counter() - t0) / iters
-            return B * iters / (time.perf_counter() - t0), B, dt
+            return B / dt, B, dt, _cost_tflops(step_fn, state, batch)
         except Exception as e:  # HBM exhaustion on small chips: try smaller B
             msg = str(e)
             oom = any(
@@ -102,7 +129,7 @@ def bench_train_step(batch_candidates=(128, 64, 32)):
             )
             if not oom:
                 raise
-    return 0.0, 0, 0.0
+    return 0.0, 0, 0.0, None
 
 
 def bench_train3d_step(batch_candidates=(32, 16, 8)):
@@ -166,7 +193,7 @@ def bench_train3d_step(batch_candidates=(32, 16, 8)):
                 state, metrics = step_fn(state, batch)
             float(metrics["loss"])  # fence
             dt = (time.perf_counter() - t0) / iters
-            return B / dt, B, dt
+            return B / dt, B, dt, _cost_tflops(step_fn, state, batch)
         except Exception as e:
             msg = str(e)
             oom = any(
@@ -176,7 +203,7 @@ def bench_train3d_step(batch_candidates=(32, 16, 8)):
             )
             if not oom:
                 raise
-    return 0.0, 0, 0.0
+    return 0.0, 0, 0.0, None
 
 
 BASELINE_TRAIN3D_IMGS_PER_SEC = 69.4  # 350 / 5.04 FLOP ratio, see docstring
@@ -242,7 +269,7 @@ def bench_infer3d(batch_candidates=(128, 64, 32)):
             ).astype(jnp.bfloat16)
             t_rtt = timed(trivial, x)
             t = timed(fwd, x) - t_rtt
-            return B / max(t, 1e-6), B, t
+            return B / max(t, 1e-6), B, t, _cost_tflops(fwd, variables, x)
         except Exception as e:
             msg = str(e)
             oom = any(
@@ -252,7 +279,7 @@ def bench_infer3d(batch_candidates=(128, 64, 32)):
             )
             if not oom:
                 raise
-    return 0.0, 0, 0.0
+    return 0.0, 0, 0.0, None
 
 
 # -- contention guard (VERDICT r3 item 6) ------------------------------------
@@ -324,14 +351,17 @@ def main():
     host_ms = [_host_probe()]
 
     hw = 640
-    # Serving twin: fast_eval + the SPD-packed stem contract. The Predictor's
-    # device-preprocess stage emits the space-to-depth-packed (B, H/2, W/2, 12)
-    # layout at zero extra dispatches (the normalize write exists anyway), and
-    # the stem consumes it via the exact k2/s1 weight repack — detections are
-    # bit-identical in f32 (tests/test_spd_stem.py). The benched tensor is the
-    # preprocess-stage OUTPUT either way (the unpacked twin benched its
-    # normalized f32->bf16 output); measured +8.4% on the model stage
-    # (tools/exp_spd_serving.py: 2699 -> 2925 img/s at B=128).
+    # Serving twin: fast_eval + the SPD-packed stem contract — the
+    # Predictor's DEFAULT serving config (cfg spd_serving: True since round
+    # 5; previously opt-in). The device-preprocess stage emits the
+    # space-to-depth-packed (B, H/2, W/2, 12) layout at zero extra
+    # dispatches (the normalize write exists anyway), and the stem consumes
+    # it via the exact k2/s1 weight repack — detections match the strided
+    # stem to f32 accumulation noise (tests/test_spd_stem.py asserts
+    # rtol 1e-5/atol 1e-4; conv accumulation order differs). The benched
+    # tensor is the preprocess-stage OUTPUT either way (the unpacked twin
+    # benched its normalized f32->bf16 output); measured +8.4% on the model
+    # stage (tools/exp_spd_serving.py: 2699 -> 2925 img/s at B=128).
     model, spec = build_model(
         "yolov10_3d_tpu/cfg/models/v10/yolov10s.yaml",
         fast_eval=True, spd_stem="packed",
@@ -380,11 +410,13 @@ def main():
     # dispatch+readback overhead on the same device-resident input
     t_rtt = timed(trivial, x)
     t_full = timed(fwd, x)
-    imgs_per_sec = batch_b / max(t_full - t_rtt, 1e-6)
+    t_infer = max(t_full - t_rtt, 1e-6)
+    imgs_per_sec = batch_b / t_infer
+    infer_tf = _cost_tflops(fwd, variables, x)
 
     probes_ms.append(probe())
     host_ms.append(_host_probe())
-    train_ips, train_b, train_dt = bench_train_step()
+    train_ips, train_b, train_dt, train_tf = bench_train_step()
     probes_ms.append(probe())
     host_ms.append(_host_probe())
     print(
@@ -396,11 +428,12 @@ def main():
                 "batch": train_b,
                 "step_ms": round(train_dt * 1e3, 2),
                 "vs_baseline": round(train_ips / BASELINE_TRAIN_IMGS_PER_SEC, 3),
+                **_mfu_fields(train_tf, train_dt),
             }
         ),
         flush=True,
     )
-    train3d_ips, train3d_b, train3d_dt = bench_train3d_step()
+    train3d_ips, train3d_b, train3d_dt, train3d_tf = bench_train3d_step()
     probes_ms.append(probe())
     host_ms.append(_host_probe())
     print(
@@ -412,11 +445,12 @@ def main():
                 "batch": train3d_b,
                 "step_ms": round(train3d_dt * 1e3, 2),
                 "vs_baseline": round(train3d_ips / BASELINE_TRAIN3D_IMGS_PER_SEC, 3),
+                **_mfu_fields(train3d_tf, train3d_dt),
             }
         ),
         flush=True,
     )
-    infer3d_ips, infer3d_b, infer3d_dt = bench_infer3d()
+    infer3d_ips, infer3d_b, infer3d_dt, infer3d_tf = bench_infer3d()
     probes_ms.append(probe())
     host_ms.append(_host_probe())
     print(
@@ -428,6 +462,7 @@ def main():
                 "batch": infer3d_b,
                 "batch_ms": round(infer3d_dt * 1e3, 2),
                 "vs_baseline": round(infer3d_ips / BASELINE_INFER3D_IMGS_PER_SEC, 3),
+                **_mfu_fields(infer3d_tf, infer3d_dt),
             }
         ),
         flush=True,
@@ -439,6 +474,7 @@ def main():
                 "value": round(imgs_per_sec, 2),
                 "unit": "images/sec",
                 "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+                **_mfu_fields(infer_tf, t_infer),
                 "train_imgs_per_sec": round(train_ips, 2),
                 "train_vs_baseline": round(train_ips / BASELINE_TRAIN_IMGS_PER_SEC, 3),
                 "train3d_imgs_per_sec": round(train3d_ips, 2),

@@ -128,6 +128,40 @@ for epoch in range(2):
         state, m = pstep(state, gb)
         losses.append(float(m["loss"]))
 
+# -- FSDP multi-host leg (round-5): ZeRO-3 state sharded over the dp axis
+# ACROSS HOSTS (params + moments + EMA live split between the two processes;
+# XLA all-gathers weights at use and reduce-scatters grads over the
+# cross-host axis). One step from a fresh state must equal the replicated-dp
+# step's numerics, and the updated state keeps the FSDP layout for step 2.
+from yolov10_3d_tpu.parallel.mesh import (
+    make_fsdp_train_step, shard_state_fsdp_multihost,
+)
+
+items = [DS()[i] for i in range(proc_id * 4, proc_id * 4 + 4)]
+local_f = {k: np.stack([it[k] for it in items]) for k in items[0]}
+gb_f = make_global_batch(local_f, mesh)
+
+state_d = replicate_state_multihost(TrainState.create(variables, tx), mesh)
+_, m_dp = pstep(state_d, gb_f)  # replicated-dp reference step (same jaxpr)
+state_f = shard_state_fsdp_multihost(TrainState.create(variables, tx), mesh)
+# leaves of the optimizer/param tree really live sharded across the hosts
+n_sharded = sum(
+    1
+    for leaf in jax.tree.leaves(state_f)
+    if hasattr(leaf, "sharding") and not leaf.sharding.is_fully_replicated
+)
+pstep_f = make_fsdp_train_step(step, mesh, state_f)
+pstep_f.lower(state_f, gb_f).compile()
+_dist.global_state.client.wait_at_barrier("mh_fsdp_precompiled", 600_000)
+state_f, m_f = pstep_f(state_f, gb_f)
+state_f, m_f2 = pstep_f(state_f, gb_f)  # layout-preserving second step
+print(
+    f"MHFSDP proc={proc_id} loss_dp={float(m_dp['loss']):.6f} "
+    f"loss_fsdp={float(m_f['loss']):.6f} loss_fsdp2={float(m_f2['loss']):.6f} "
+    f"n_sharded={n_sharded}",
+    flush=True,
+)
+
 # -- 3D leg (round-3): the 17-column KITTI batch (calib, 3D targets,
 # mean_sizes) crosses make_global_batch and the sharded dual-branch 3D loss
 # runs one step; both hosts must agree on the loss

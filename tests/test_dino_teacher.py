@@ -5,6 +5,7 @@ teacher in the loop (reference utils/dino.py DinoDepther + loss.py:1138)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from yolov10_3d_tpu.models.dino import (
     DINOV2_ARCHS, DinoDepther, DinoV2ViT, convert_dinov2_state_dict,
@@ -239,5 +240,70 @@ def test_dino_path_loads_saved_depther(tmp_path):
         assert d_got.shape == (2, 56, 70)
         np.testing.assert_allclose(np.asarray(d_got), np.asarray(d_ref), rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(e_got), np.asarray(e_ref), rtol=1e-5, atol=1e-6)
+    finally:
+        dino_mod.DINOV2_ARCHS["small"] = old
+
+
+@pytest.mark.slow
+def test_train_dino_teacher_learns_and_roundtrips(tmp_path):
+    """The teacher TRAINING path (reference utils/dino.py:223-298): a tiny
+    DinoDepther trains on synthetic KITTI foreground depth maps with the
+    reference's recipe (Adam 1e-5 -> we use a higher LR for the tiny config,
+    masked smooth-L1, per-epoch LinearLR, best-by-val-loss ckpt). Loss must
+    drop, and the saved .npz must round-trip through the ``dino_path``
+    loader into a working frozen teacher (cfg-driven distillation)."""
+    try:
+        import cv2  # noqa: F401
+    except ImportError:
+        pytest.skip("cv2 required")
+    import sys
+    from pathlib import Path
+    from types import SimpleNamespace
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from _helpers import make_kitti_tree
+
+    import yolov10_3d_tpu.models.dino as dino_mod
+    from yolov10_3d_tpu.data.kitti import KITTIDataset
+    from yolov10_3d_tpu.engine.trainer3d import Detection3DTrainer
+    from yolov10_3d_tpu.models.dino import train_dino_teacher
+
+    yaml_path = make_kitti_tree(tmp_path / "k", n_images=8, with_seg=True)
+    args = SimpleNamespace(
+        load_depth_maps=True, kitti_resolution=[112, 56], fliplr=0.0,
+        random_crop=0.0, mixup=0.0, max_depth_threshold=60.0,
+    )
+    train_ds = KITTIDataset(yaml_path.parent, split="train", args=args)
+    val_ds = KITTIDataset(yaml_path.parent, split="val", args=args)
+
+    old = dino_mod.DINOV2_ARCHS["small"]
+    dino_mod.DINOV2_ARCHS["small"] = dict(embed_dim=32, depth=4, num_heads=2)
+    try:
+        losses = []
+        path, tl, vl = train_dino_teacher(
+            train_ds, tmp_path / "teacher.npz", val_ds=val_ds,
+            backbone_size="small", epochs=60, batch_size=8,
+            lr=5e-3, schedule_iters=60, seed=0,
+            log=lambda e, t, v: losses.append((e, t, v)),
+        )
+        assert len(tl) == 60 and all(np.isfinite(tl))
+        # the teacher LEARNS: mean of the last 5 train losses well below the
+        # first epoch's (depth targets are O(10 m); init loss is huge)
+        assert np.mean(tl[-5:]) < 0.5 * tl[0], tl
+        assert min(vl) < 0.5 * vl[0], vl
+
+        # round trip: the saved reference-layout .npz loads through the
+        # dino_path machinery into a frozen teacher with the right contract
+        teacher = Detection3DTrainer._load_dino_teacher(str(path))
+        import jax.numpy as jnp
+
+        x = jnp.asarray(
+            np.random.default_rng(0).uniform(0, 1, (2, 56, 112, 3)).astype(np.float32)
+        )
+        d, emb = teacher(x)
+        assert d.shape == (2, 56, 112)
+        assert np.all(np.isfinite(np.asarray(d)))
+        # trained teacher, not init: nontrivial foreground depth predictions
+        assert float(jnp.max(d)) > 1.0
     finally:
         dino_mod.DINOV2_ARCHS["small"] = old

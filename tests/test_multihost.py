@@ -66,6 +66,28 @@ def test_two_process_training(tmp_path):
     assert sorted(set(seen0) | set(seen1)) == list(range(8))
     # host-0-only checkpoint
     assert (tmp_path / "mh.ckpt").exists()
+    # FSDP multi-host leg: state sharded ACROSS the two processes; one step
+    # equals the replicated-dp numerics on both hosts (round-5; protects the
+    # parallel/mesh.py ZeRO-3 claim beyond single-process virtual devices)
+    fsdp = {}
+    for out in outs:
+        m = re.search(
+            r"MHFSDP proc=(\d) loss_dp=([-\d.]+) loss_fsdp=([-\d.]+) "
+            r"loss_fsdp2=([-\d.]+) n_sharded=(\d+)",
+            out,
+        )
+        assert m, out[-2000:]
+        fsdp[int(m.group(1))] = tuple(float(m.group(i)) for i in (2, 3, 4)) + (
+            int(m.group(5)),
+        )
+    for p in (0, 1):
+        dp_l, f_l, f2_l, n_sharded = fsdp[p]
+        assert f_l == pytest.approx(dp_l, rel=1e-5), fsdp
+        assert n_sharded > 10  # params/moments/EMA really live sharded
+        import math as _math
+
+        assert _math.isfinite(f2_l)
+    assert fsdp[0] == pytest.approx(fsdp[1], rel=1e-5)
     # 3D leg: the sharded dual-branch 3D step ran and both hosts agree
     l3d = {}
     for out in outs:

@@ -76,11 +76,16 @@ def test_spd_serving_predictor_parity(tmp_path):
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
 
-    base = Predictor(model, spec, variables, get_cfg(None, {}), {0: "x"})
+    base = Predictor(
+        model, spec, variables, get_cfg(None, {"spd_serving": False}), {0: "x"}
+    )
     packed = Predictor(
         model, spec, variables, get_cfg(None, {"spd_serving": True}), {0: "x"}
     )
     assert packed._spd_packed and not base._spd_packed
+    # packed is the DEFAULT serving config (round-5: it is exact and
+    # measured faster, so it is no longer opt-in)
+    assert Predictor(model, spec, variables, get_cfg(None, {}), {0: "x"})._spd_packed
     r0 = base(img, imgsz=64, conf=0.001, max_det=20)[0]
     r1 = packed(img, imgsz=64, conf=0.001, max_det=20)[0]
     np.testing.assert_allclose(r1.boxes.data, r0.boxes.data, rtol=1e-5, atol=1e-4)

@@ -180,8 +180,12 @@ class Predictor:
         # spd_serving: the preprocess stage emits the space-to-depth-packed
         # (B, H/2, W/2, 12) layout and the stem consumes it directly —
         # measured 1.084x on the model stage at 640^2 B=128 bf16 when the
-        # input arrives packed (tools/exp_spd_serving.py; bit-identical
-        # detections). Opt-in because it changes the device-side layout.
+        # input arrives packed (tools/exp_spd_serving.py). The repack is an
+        # exact weight reshape; detections match the strided stem to f32
+        # accumulation noise (tests/test_spd_stem.py asserts rtol 1e-5 /
+        # atol 1e-4 — conv accumulation order differs). Default ON
+        # (cfg default.yaml spd_serving: True); spd_serving=False keeps the
+        # strided-stem layout.
         spd = (
             "packed"
             if (args is not None and args.get("spd_serving"))

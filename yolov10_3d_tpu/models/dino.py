@@ -145,9 +145,11 @@ class DinoDepthHead(nn.Module):
     1x1 conv to 1 channel, ReLU (depth is nonnegative metric meters)."""
 
     @nn.compact
-    def __call__(self, feats: Tuple[jax.Array, ...]) -> Tuple[jax.Array, jax.Array]:
+    def __call__(
+        self, feats: Tuple[jax.Array, ...], train: bool = False
+    ) -> Tuple[jax.Array, jax.Array]:
         f = jnp.concatenate(feats, axis=-1)  # (B, Hp, Wp, 4C) = the embeddings
-        h = nn.BatchNorm(use_running_average=True, name="bn")(f)
+        h = nn.BatchNorm(use_running_average=not train, name="bn")(f)
         d = nn.Conv(1, (1, 1), name="conv_depth")(h)
         return nn.relu(d[..., 0]), f
 
@@ -162,10 +164,10 @@ class DinoDepther(nn.Module):
     # student-matched embedding dims)
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, jax.Array]:
         arch = dict(DINOV2_ARCHS[self.backbone_size], **(self.arch_override or {}))
         feats = DinoV2ViT(**arch, name="backbone")(x, out_indices=self.out_indices)
-        return DinoDepthHead(name="head")(feats)
+        return DinoDepthHead(name="head")(feats, train=train)
 
 
 # ImageNet normalization, the reference's transform_imgs constants
@@ -249,3 +251,168 @@ def convert_dinov2_state_dict(sd: Dict[str, np.ndarray], backbone_size: str = "s
         }
     p["norm"] = ln("norm")
     return p
+
+
+def export_dinov2_state_dict(variables, backbone_size: str = "small"):
+    """Inverse of ``convert_dinov2_state_dict`` PLUS the head: DinoDepther
+    variables -> the reference ``DinoDepther.save()`` layout (torch-named
+    flat dict: ``backbone.*`` public dinov2 keys + ``head.*`` ConvHead keys,
+    dino.py:137-138). Saved as .npz this round-trips through
+    ``Detection3DTrainer._load_dino_teacher`` / the ``dino_path`` cfg key."""
+    p = jax.device_get(variables["params"])
+    bs = jax.device_get(variables.get("batch_stats", {}))
+    b = p["backbone"]
+    # depth from the params tree (robust to arch_override'd test configs)
+    depth = sum(1 for k in b if str(k).startswith("blocks_"))
+    sd = {
+        "backbone.cls_token": b["cls_token"],
+        "backbone.pos_embed": b["pos_embed"],
+        "backbone.patch_embed.proj.weight":
+            np.asarray(b["patch_embed_proj"]["kernel"]).transpose(3, 2, 0, 1),
+        "backbone.patch_embed.proj.bias": b["patch_embed_proj"]["bias"],
+        "backbone.norm.weight": b["norm"]["scale"],
+        "backbone.norm.bias": b["norm"]["bias"],
+    }
+    for i in range(depth):
+        blk, t = b[f"blocks_{i}"], f"backbone.blocks.{i}"
+        for ln in ("norm1", "norm2"):
+            sd[f"{t}.{ln}.weight"] = blk[ln]["scale"]
+            sd[f"{t}.{ln}.bias"] = blk[ln]["bias"]
+        for src, dst in (("qkv", "attn.qkv"), ("proj", "attn.proj")):
+            sd[f"{t}.{dst}.weight"] = np.asarray(blk["attn"][src]["kernel"]).T
+            sd[f"{t}.{dst}.bias"] = blk["attn"][src]["bias"]
+        sd[f"{t}.ls1.gamma"] = blk["ls1"]["gamma"]
+        sd[f"{t}.ls2.gamma"] = blk["ls2"]["gamma"]
+        sd[f"{t}.mlp.fc1.weight"] = np.asarray(blk["mlp_fc1"]["kernel"]).T
+        sd[f"{t}.mlp.fc1.bias"] = blk["mlp_fc1"]["bias"]
+        sd[f"{t}.mlp.fc2.weight"] = np.asarray(blk["mlp_fc2"]["kernel"]).T
+        sd[f"{t}.mlp.fc2.bias"] = blk["mlp_fc2"]["bias"]
+    h = p["head"]
+    sd["head.conv_depth.weight"] = np.asarray(h["conv_depth"]["kernel"]).transpose(3, 2, 0, 1)
+    sd["head.conv_depth.bias"] = h["conv_depth"]["bias"]
+    sd["head.bn.weight"] = h["bn"]["scale"]
+    sd["head.bn.bias"] = h["bn"]["bias"]
+    sd["head.bn.running_mean"] = bs["head"]["bn"]["mean"]
+    sd["head.bn.running_var"] = bs["head"]["bn"]["var"]
+    return {k: np.asarray(v) for k, v in sd.items()}
+
+
+def train_dino_teacher(
+    train_ds, save_path, val_ds=None, *, backbone_size: str = "small",
+    arch_override=None, epochs: int = 200, batch_size: int = 24,
+    lr: float = 1e-5, end_factor: float = 0.1, schedule_iters: int = 200,
+    seed: int = 0, num_threads: int = 2, log=None,
+):
+    """Train the DINOv2 depth teacher on KITTI foreground depth maps — the
+    TPU-native equivalent of the reference's standalone teacher trainer
+    (/root/reference/ultralytics/utils/dino.py:223-298 ``train_one_epoch`` /
+    ``main``): Adam(lr 1e-5) + per-epoch LinearLR 1.0 -> 0.1 over
+    ``schedule_iters`` epochs, smooth-L1 on the pixels where the composited
+    per-object depth map is foreground (``get_depth_map_loss``), best
+    checkpoint by val loss saved in the reference ``.save()`` layout (as
+    .npz) so it loads straight back through the ``dino_path`` cfg key.
+
+    ``train_ds``/``val_ds``: datasets yielding {"img" (H,W,3 uint8/float),
+    "depth_map" (H,W)} — e.g. KITTIDataset(args.load_depth_maps=True).
+    Returns (save_path, [train_loss/epoch], [val_loss/epoch])."""
+    import optax
+
+    from ..data.dataset import DataLoader
+
+    model = DinoDepther(backbone_size=backbone_size, arch_override=arch_override)
+    sample = train_ds[0]
+    H, W = sample["depth_map"].shape
+    h14, w14 = H - H % 14, W - W % 14
+
+    def prep(img):
+        x = img.astype(jnp.float32)
+        x = jnp.where(jnp.max(x) > 2.0, x / 255.0, x)  # uint8-origin guard
+        x = x * 255.0 - jnp.asarray(_MEAN)
+        x = x / jnp.asarray(_STD)
+        return jax.image.resize(x, (x.shape[0], h14, w14, 3), "bilinear")
+
+    variables = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(seed), jnp.zeros((1, h14, w14, 3), jnp.float32),
+        train=True,
+    )
+    # reference: per-EPOCH LinearLR step (scheduler.step() once per epoch)
+    steps_per_epoch = max(1, (len(train_ds) + batch_size - 1) // batch_size)
+
+    def lr_fn(step):
+        e = jnp.minimum(step // steps_per_epoch, schedule_iters)
+        return lr * (1.0 + (end_factor - 1.0) * e / schedule_iters)
+
+    tx = optax.adam(learning_rate=lr_fn)
+    opt_state = tx.init(variables["params"])
+
+    def loss_of(params, batch_stats, imgs, depth_gt, train):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats}, prep(imgs),
+            train=train, mutable=["batch_stats"] if train else [],
+        ) if train else (
+            model.apply({"params": params, "batch_stats": batch_stats},
+                        prep(imgs), train=False),
+            {"batch_stats": batch_stats},
+        )
+        pred = out[0]
+        pred = jax.image.resize(pred[..., None], (pred.shape[0], H, W, 1),
+                                "bilinear")[..., 0]
+        mask = depth_gt > 0
+        l = optax.huber_loss(pred, depth_gt, delta=1.0)  # == smooth_l1 (beta 1)
+        loss = jnp.sum(jnp.where(mask, l, 0.0)) / jnp.maximum(mask.sum(), 1)
+        return loss, mut["batch_stats"]
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, imgs, depth_gt):
+        (loss, new_bs), grads = jax.value_and_grad(
+            lambda p: loss_of(p, batch_stats, imgs, depth_gt, True),
+            has_aux=True,
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, opt_state, loss
+
+    @jax.jit
+    def val_step(params, batch_stats, imgs, depth_gt):
+        return loss_of(params, batch_stats, imgs, depth_gt, False)[0]
+
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    log = log or (lambda *_: None)
+    tl_hist, vl_hist = [], []
+    best, best_val = None, float("inf")
+    for epoch in range(epochs):
+        loader = DataLoader(train_ds, batch_size, shuffle=True,
+                            seed=seed + epoch, num_threads=num_threads,
+                            drop_last=False)
+        tot = n = 0.0
+        for b in loader:
+            imgs = jnp.asarray(np.asarray(b["img"]))
+            dm = jnp.asarray(np.asarray(b["depth_map"], np.float32))
+            params, batch_stats, opt_state, loss = train_step(
+                params, batch_stats, opt_state, imgs, dm
+            )
+            tot += float(loss); n += 1
+        tl = tot / max(n, 1)
+        tl_hist.append(tl)
+        if val_ds is not None:
+            vloader = DataLoader(val_ds, batch_size, shuffle=False,
+                                 num_threads=num_threads, drop_last=False)
+            vt = vn = 0.0
+            for b in vloader:
+                vl = val_step(params, batch_stats,
+                              jnp.asarray(np.asarray(b["img"])),
+                              jnp.asarray(np.asarray(b["depth_map"], np.float32)))
+                vt += float(vl); vn += 1
+            vl = vt / max(vn, 1)
+        else:
+            vl = tl
+        vl_hist.append(vl)
+        log(epoch, tl, vl)
+        if vl < best_val:  # reference: best.pt by eval loss (dino.py:288-291)
+            best_val = vl
+            best = export_dinov2_state_dict(
+                {"params": params, "batch_stats": batch_stats}, backbone_size
+            )
+    save_path = str(save_path)
+    np.savez(save_path, **best)
+    return save_path, tl_hist, vl_hist

@@ -207,6 +207,24 @@ def shard_state_fsdp(state, mesh: Mesh, axis: str = "dp"):
     return jax.tree.map(lambda x, s: jax.device_put(x, s), state, sh)
 
 
+def shard_state_fsdp_multihost(state, mesh: Mesh, axis: str = "dp"):
+    """FSDP placement across PROCESSES: every process holds the full
+    (identical) host values — same-seed init or a broadcast ckpt, exactly
+    the replicate_state_multihost contract — and each leaf becomes a global
+    array in the fsdp_sharding layout via make_array_from_callback (each
+    process serves only its addressable shards, so no host ever materializes
+    another host's slice on device)."""
+    if jax.process_count() == 1:
+        return shard_state_fsdp(state, mesh, axis)
+    sh = fsdp_sharding(mesh, state, axis)
+
+    def mk(x, s):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    return jax.tree.map(mk, state, sh)
+
+
 def make_fsdp_train_step(train_step, mesh: Mesh, state, axis: str = "dp"):
     """jit the train step with state FSDP-sharded over `axis` and the batch
     dp-sharded over the same axis (committed per-leaf by shard_batch). The
