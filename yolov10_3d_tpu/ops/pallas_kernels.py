@@ -44,7 +44,8 @@ def _decode_kernel(x_ref, anc_ref, str_ref, boxes_ref, scores_ref, *, reg_max, n
     # DFL: softmax over the reg_max bins x projection [0..reg_max)
     m = jnp.max(box_logits, axis=-1, keepdims=True)
     e = jnp.exp(box_logits - m)
-    proj = jax.lax.broadcasted_iota(jnp.float32, (1, reg_max), 1)
+    # Mosaic's tpu.iota is integer-only; cast after (f32 iota fails to verify)
+    proj = jax.lax.broadcasted_iota(jnp.int32, (1, reg_max), 1).astype(jnp.float32)
     dist = jnp.sum(e * proj, axis=-1) / jnp.sum(e, axis=-1)  # (TA*4,)
     dist = dist.reshape(ta, 4)
     anc = anc_ref[:]  # (TA, 2)
