@@ -414,6 +414,34 @@ def main():
     imgs_per_sec = batch_b / t_infer
     infer_tf = _cost_tflops(fwd, variables, x)
 
+    # Secondary line: the opt-in int8 serving path (Predictor(int8=True),
+    # scope="k3deep" — k>=3 dense convs + deep-stage 1x1s, the shapes where
+    # the round-5 chained campaign measured int8 winning; PARITY.md round-5
+    # table). Reported next to the exact-bf16 headline so the campaign's
+    # outcome is driver-legible; NOT the headline because PTQ changes
+    # numerics (outputs-close bounds in tests/test_int8_mode.py).
+    from yolov10_3d_tpu.nn.modules import set_int8_mode
+
+    set_int8_mode(True, scope="k3deep")
+    try:
+        model8, _ = build_model(
+            "yolov10_3d_tpu/cfg/models/v10/yolov10s.yaml",
+            fast_eval=True, spd_stem="packed",
+        )
+
+        @jax.jit
+        def fwd8(variables, x):
+            feats = model8.apply(variables, x, train=False)["one2one"]
+            det = v10_detections(feats, spec.strides, spec.nc, max_det=300)
+            return det["scores"].sum()
+
+        t_int8 = max(timed(fwd8, x) - t_rtt, 1e-6)
+        int8_imgs_per_sec = batch_b / t_int8
+    except Exception:
+        int8_imgs_per_sec = 0.0
+    finally:
+        set_int8_mode(False)
+
     probes_ms.append(probe())
     host_ms.append(_host_probe())
     train_ips, train_b, train_dt, train_tf = bench_train_step()
@@ -475,6 +503,8 @@ def main():
                 "unit": "images/sec",
                 "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
                 **_mfu_fields(infer_tf, t_infer),
+                "int8_imgs_per_sec": round(int8_imgs_per_sec, 2),
+                "int8_vs_bf16": round(int8_imgs_per_sec / max(imgs_per_sec, 1e-9), 3),
                 "train_imgs_per_sec": round(train_ips, 2),
                 "train_vs_baseline": round(train_ips / BASELINE_TRAIN_IMGS_PER_SEC, 3),
                 "train3d_imgs_per_sec": round(train3d_ips, 2),

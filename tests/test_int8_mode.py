@@ -31,6 +31,67 @@ def test_int8_mode_outputs_close():
         assert rel < 0.15, rel  # random-init nets quantize worst-case
 
 
+def test_int8_k3deep_scope_outputs_close():
+    """Round-5 scope: k>=3 dense convs plus deep-stage (H*W <= 400) 1x1s.
+    The extra quantized 1x1s must keep outputs close; at the 64x64 test
+    input the stem level (32x32 = 1024 px) stays bf16 while every level from
+    stride 4 down (16x16 = 256 px on) quantizes its 1x1s too, so the
+    trace-time spatial gate is exercised both ways."""
+    model, spec = build_model("yolov10_3d_tpu/cfg/models/v10/yolov10n.yaml",
+                              fast_eval=True)
+    x = jnp.asarray(np.random.default_rng(2).uniform(size=(1, 64, 64, 3)), jnp.float32)
+    v = jax.jit(model.init, static_argnames="train")(jax.random.PRNGKey(0), x, train=False)
+    ref = jax.jit(lambda v: model.apply(v, x, train=False))(v)
+
+    M.set_int8_mode(True, act_scale=None, scope="k3deep")
+    try:
+        model8, _ = build_model("yolov10_3d_tpu/cfg/models/v10/yolov10n.yaml",
+                                fast_eval=True)
+        got = jax.jit(lambda v: model8.apply(v, x, train=False))(v)
+    finally:
+        M.set_int8_mode(False)
+
+    for a, b in zip(jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(got)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
+        assert np.isfinite(b).all()
+        assert rel < 0.2, rel  # more layers quantized than "k3"
+
+
+def test_int8_scope_rejects_unknown():
+    import pytest
+
+    with pytest.raises(ValueError):
+        M.set_int8_mode(True, scope="bogus")
+    M.set_int8_mode(False)
+
+
+def test_int8_serving_predictor_wiring():
+    """Predictor(int8=True) traces the forward under the k3deep int8 scope
+    (predictor.py _forward_fn wrapper) and restores the global switch after
+    every call; outputs stay finite and the fixed-shape contract holds.
+    Accuracy of the PTQ itself is covered by the outputs-close tests above —
+    this guards the cfg wiring (a typed key that silently does nothing is a
+    VERDICT r4 defect class)."""
+    from yolov10_3d_tpu.cfg import get_cfg
+    from yolov10_3d_tpu.engine.predictor import Predictor
+
+    model, spec = build_model("yolov10_3d_tpu/cfg/models/v10/yolov10n.yaml")
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v = jax.jit(model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), x0, train=False
+    )
+    img = np.random.default_rng(0).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+
+    base = Predictor(model, spec, v, get_cfg(None, {}), {0: "x"})
+    quant = Predictor(model, spec, v, get_cfg(None, {"int8": True}), {0: "x"})
+    r0 = base(img, imgsz=64, conf=0.0, max_det=20)[0]
+    r1 = quant(img, imgsz=64, conf=0.0, max_det=20)[0]
+    assert not M._INT8_MODE  # wrapper restored the trace-time switch
+    assert r1.boxes.data.shape == r0.boxes.data.shape
+    assert np.isfinite(r1.boxes.data).all()
+
+
 def test_int8_conv_matches_fp_at_exact_grid():
     """Exact when both scales land values on the int8 grid: activations are
     integers with act_scale=1; each weight out-channel has max |w| == 127 so

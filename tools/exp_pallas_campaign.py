@@ -105,19 +105,36 @@ def chain_pallas_int8_c3(xq, wqs, scales, biases, inv):
 def row(name, ms, flops, bytes_):
     tf = f"{flops / ms / 1e9:7.1f} TF/s" if flops else "      —     "
     gb = bytes_ / ms / 1e6
-    print(f"  {name:<28} {ms:8.3f} ms/layer   {tf}   {gb:7.0f} GB/s")
+    print(f"  {name:<28} {ms:8.3f} ms/layer   {tf}   {gb:7.0f} GB/s", flush=True)
     return ms
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", choices=["k1", "k2", "k3"], default=None,
+                    help="run one kernel section (compiles are slow through the tunnel)")
+    ap.add_argument("--shapes", default=None,
+                    help="comma list of hw:C pairs, e.g. 80:128,40:256")
     args = ap.parse_args()
     rng = np.random.default_rng(0)
     B = 32 if args.quick else 128
+    shapes_arg = (
+        [tuple(int(v) for v in s.split(":")) for s in args.shapes.split(",")]
+        if args.shapes else [(80, 128), (40, 256), (20, 512)]
+    )
 
-    print(f"== K2: 1x1 (matmul) chains, depth {L}, B={B} imgs ==")
-    for hw, C in ((80, 128), (40, 256), (20, 512)):
+    if args.only in (None, "k2"):
+        _k2(rng, B, shapes_arg)
+    if args.only in (None, "k3"):
+        _k3(rng, B, shapes_arg)
+    if args.only in (None, "k1"):
+        _k1(rng, B)
+
+
+def _k2(rng, B, shapes_arg):
+    print(f"== K2: 1x1 (matmul) chains, depth {L}, B={B} imgs ==", flush=True)
+    for hw, C in shapes_arg:
         M = B * hw * hw
         K = N = C
         flops = 2.0 * M * K * N
@@ -143,8 +160,10 @@ def main():
         ms = timed(f, xq, wqs, scales, biases, inv, iters=4) / L * 1e3
         row("Pallas int8 fused", ms, flops, M * K + K * N + M * N)
 
-    print(f"\n== K3: 3x3/s1 conv chains, depth {L}, B={B} imgs ==")
-    for hw, C in ((80, 128), (40, 256), (20, 512)):
+
+def _k3(rng, B, shapes_arg):
+    print(f"\n== K3: 3x3/s1 conv chains, depth {L}, B={B} imgs ==", flush=True)
+    for hw, C in shapes_arg:
         flops = 2.0 * B * hw * hw * C * C * 9
         xb = jnp.asarray(rng.normal(0, 1, (B, hw, hw, C)).astype(np.float32)).astype(jnp.bfloat16)
         ws_b = [
@@ -169,7 +188,9 @@ def main():
         ms = timed(f, xq, wqs, scales, biases, inv, iters=4) / L * 1e3
         row("Pallas int8 fused", ms, flops, 2 * act + 9 * C * C)
 
-    print("\n== K1: decode epilogue, (B, 8400, 144) ==")
+
+def _k1(rng, B):
+    print("\n== K1: decode epilogue, (B, 8400, 144) ==", flush=True)
     from yolov10_3d_tpu.ops.boxes import make_anchors
     from yolov10_3d_tpu.ops.postprocess import decode_detect
 

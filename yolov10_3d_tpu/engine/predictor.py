@@ -332,6 +332,27 @@ class Predictor:
                 det = v10_detections(feats, spec.strides, spec.nc, max_det=max_det)
                 return det["boxes"], det["scores"], det["labels"]
 
+        if self.args is not None and self.args.get("int8"):
+            # int8=True extends the reference's export-only PTQ knob
+            # (exporter.py int8 arg) to live TPU serving: the trace-time
+            # int8 switch quantizes the measured-winning convs (k>=3 dense
+            # + deep-stage 1x1s) with int8 IO between them. Measured +8.1%
+            # e2e over bf16 at 640^2 B=128 (tools/exp_int8_scope.py:
+            # 3018 -> 3263 img/s). The switch is a trace-time global, so it
+            # must be ON while jit traces — the wrapper toggles it around
+            # every call; after the first (tracing) call the jit cache hits
+            # and the toggle is a no-op nanoseconds guard, not a retrace.
+            from ..nn.modules import set_int8_mode
+
+            inner = fwd
+
+            def fwd(variables, x, _inner=inner):
+                set_int8_mode(True, scope="k3deep")
+                try:
+                    return _inner(variables, x)
+                finally:
+                    set_int8_mode(False)
+
         return fwd
 
     @functools.lru_cache(maxsize=8)

@@ -44,13 +44,21 @@ def set_int8_mode(enabled: bool, act_scale=8.0 / 127.0, scope: str = "k3") -> No
     dynamic max-abs quantization (slower: unfusable full reductions).
     scope: "k3" (default) quantizes only k>=3 dense convs — the shapes where
     int8 measures FASTER than bf16 on v5e (1.28-1.81x; 1x1 convs measure
-    0.6-0.75x and stay bf16) — "all" quantizes every Conv."""
+    0.6-0.75x and stay bf16). "k3deep" additionally quantizes 1x1 dense
+    convs on small feature maps (H*W <= _INT8_DEEP_HW): the round-5 B=128
+    chained campaign (tools/exp_pallas_campaign.py) measured the XLA int8
+    flow at 3.2x bf16 on the 20x20x512 1x1 shape (0.171 vs 0.549 ms/layer)
+    while 80x80/40x40 1x1s still lose — so the whole deep stage runs int8
+    end to end with no intermediate dequant. "all" quantizes every Conv."""
     global _INT8_MODE, _INT8_ACT_SCALE, _INT8_SCOPE
     _INT8_MODE = bool(enabled)
     _INT8_ACT_SCALE = act_scale
-    if scope not in ("k3", "all"):
-        raise ValueError(f"scope must be 'k3' or 'all', got {scope!r}")
+    if scope not in ("k3", "k3deep", "all"):
+        raise ValueError(f"scope must be 'k3', 'k3deep' or 'all', got {scope!r}")
     _INT8_SCOPE = scope
+
+
+_INT8_DEEP_HW = 400  # "k3deep": 1x1 convs quantize when H*W <= this (20x20)
 
 
 def int8_conv(
@@ -170,12 +178,22 @@ class Conv(nn.Module):
             x = _SPDStemConv(
                 self.c2, packed_input=(self.spd == "packed"), name="conv"
             )(x)
-        elif _INT8_MODE and (_INT8_SCOPE == "all" or (kh >= 3 and self.g == 1)):
-            # mixed-precision gate (measured on v5e b=128, PARITY.md round 2):
-            # int8 wins ONLY on k>=3 dense convs (1.28-1.81x); 1x1 convs LOSE
-            # (0.6-0.75x: the quant/requant elementwise passes cost more than
-            # the matmul saves). scope="k3" (default) quantizes just the
-            # winners; scope="all" keeps the old quantize-everything mode.
+        elif _INT8_MODE and (
+            _INT8_SCOPE == "all"
+            or (kh >= 3 and self.g == 1)
+            or (
+                _INT8_SCOPE == "k3deep"
+                and self.g == 1
+                and x.shape[1] * x.shape[2] <= _INT8_DEEP_HW
+            )
+        ):
+            # mixed-precision gate (measured on v5e b=128, PARITY.md round 2
+            # + round-5 campaign): int8 wins on k>=3 dense convs (1.28-1.81x)
+            # and — at the deep 20x20 stage only — also on 1x1 convs (3.2x,
+            # tools/exp_pallas_campaign.py); high-res 1x1 convs LOSE
+            # (quant/requant passes cost more than the matmul saves).
+            # scope="k3" quantizes just the k>=3 winners; "k3deep" adds the
+            # deep-stage 1x1s; "all" keeps the quantize-everything mode.
             x = _Int8Conv(
                 self.c2, (kh, kw), (self.s, self.s),
                 ((ph, ph), (pw, pw)), self.g, self.d, name="conv",

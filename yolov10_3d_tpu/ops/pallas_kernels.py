@@ -38,20 +38,27 @@ REG_MAX = 16
 
 # --------------------------------------------------------------- K1: decode
 def _decode_kernel(x_ref, anc_ref, str_ref, boxes_ref, scores_ref, *, reg_max, nc):
+    # No reshapes: Mosaic rejects lane-splitting shape casts like
+    # (TA, 4*reg_max) -> (TA*4, reg_max) ("infer-vector-layout: unsupported
+    # shape cast" on the real chip; interpret mode accepts it). The DFL
+    # softmax-projection runs per side on four static reg_max-wide lane
+    # slices instead — same math, layout-legal.
     x = x_ref[0].astype(jnp.float32)  # (TA, 4*reg_max + nc)
-    ta = x.shape[0]
-    box_logits = x[:, : 4 * reg_max].reshape(ta * 4, reg_max)
-    # DFL: softmax over the reg_max bins x projection [0..reg_max)
-    m = jnp.max(box_logits, axis=-1, keepdims=True)
-    e = jnp.exp(box_logits - m)
     # Mosaic's tpu.iota is integer-only; cast after (f32 iota fails to verify)
     proj = jax.lax.broadcasted_iota(jnp.int32, (1, reg_max), 1).astype(jnp.float32)
-    dist = jnp.sum(e * proj, axis=-1) / jnp.sum(e, axis=-1)  # (TA*4,)
-    dist = dist.reshape(ta, 4)
+    dist = []
+    for g in range(4):  # l, t, r, b
+        bl = x[:, g * reg_max : (g + 1) * reg_max]  # (TA, reg_max)
+        m = jnp.max(bl, axis=-1, keepdims=True)
+        e = jnp.exp(bl - m)
+        dist.append(
+            jnp.sum(e * proj, axis=-1, keepdims=True)
+            / jnp.sum(e, axis=-1, keepdims=True)
+        )  # (TA, 1)
     anc = anc_ref[:]  # (TA, 2)
     stride = str_ref[:]  # (TA, 1)
-    x1y1 = (anc - dist[:, :2]) * stride
-    x2y2 = (anc + dist[:, 2:]) * stride
+    x1y1 = (anc - jnp.concatenate(dist[:2], axis=-1)) * stride
+    x2y2 = (anc + jnp.concatenate(dist[2:], axis=-1)) * stride
     boxes_ref[0] = jnp.concatenate([x1y1, x2y2], axis=-1)
     scores_ref[0] = jax.nn.sigmoid(x[:, 4 * reg_max :])
 
@@ -101,7 +108,7 @@ def _int8_mm_kernel(x_ref, w_ref, s_ref, b_ref, inv_ref, o_ref):
 
 def int8_mm_fused(
     xq: jax.Array, wq: jax.Array, scale: jax.Array, bias: jax.Array,
-    out_inv_scale: jax.Array, block_m: int = 1024, block_n: int = 256,
+    out_inv_scale: jax.Array, block_m: int = 4096, block_n: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
     """int8 (M,K) @ (K,N) -> int32 accum -> f = silu(acc*scale + bias) ->
