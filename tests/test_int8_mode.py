@@ -92,6 +92,24 @@ def test_int8_serving_predictor_wiring():
     assert np.isfinite(r1.boxes.data).all()
 
 
+def test_int8_serving_gated_off_for_3d():
+    """int8=True is ignored for the 3D sparse-eval serving path — measured
+    17% SLOWER than bf16 (tools/exp_int8_scope3d.py: 2130 vs 1733 img/s at
+    384x1280 B=128; the gathered patch tiles pay quant/requant overhead
+    without the dense-conv win). Structural check: the 2D int8 forward is
+    the toggling wrapper (plain function), the 3D one stays the bare jit."""
+    from yolov10_3d_tpu.cfg import get_cfg
+    from yolov10_3d_tpu.engine.predictor import Predictor
+
+    m2d, s2d = build_model("yolov10_3d_tpu/cfg/models/v10/yolov10n.yaml")
+    m3d, s3d = build_model("yolov10_3d_tpu/cfg/models/v10-3D/yolov10n_3D.yaml")
+    cfg = get_cfg(None, {"int8": True})
+    p2d = Predictor(m2d, s2d, {}, cfg, {0: "x"})
+    p3d = Predictor(m3d, s3d, {}, cfg, {0: "x"})
+    assert not hasattr(p2d._forward_fn(20), "lower")  # wrapped (int8 active)
+    assert hasattr(p3d._forward_fn(20), "lower")  # bare jit (int8 gated off)
+
+
 def test_int8_conv_matches_fp_at_exact_grid():
     """Exact when both scales land values on the int8 grid: activations are
     integers with act_scale=1; each weight out-channel has max |w| == 127 so

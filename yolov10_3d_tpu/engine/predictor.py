@@ -332,7 +332,21 @@ class Predictor:
                 det = v10_detections(feats, spec.strides, spec.nc, max_det=max_det)
                 return det["boxes"], det["scores"], det["labels"]
 
-        if self.args is not None and self.args.get("int8"):
+        if self.args is not None and self.args.get("int8") and self.task == "detect3d":
+            # int8 measured 17% SLOWER on the 3D sparse-eval serving path
+            # (tools/exp_int8_scope3d.py: bf16 2130 img/s vs int8 1733/1762
+            # at 384x1280 B=128) — the gathered top-k patch shapes the
+            # sparse head runs its 16 regression branches on quantize badly
+            # (quant/requant overhead on small irregular tiles). On-the-fly
+            # TPU int8 saves no memory, so there is no reason to serve a
+            # slower config: warn and keep bf16.
+            from ..utils import LOGGER
+
+            LOGGER.warning(
+                "int8=True ignored for the 3D serving path: measured slower "
+                "than bf16 on TPU (see tools/exp_int8_scope3d.py); serving bf16."
+            )
+        elif self.args is not None and self.args.get("int8"):
             # int8=True extends the reference's export-only PTQ knob
             # (exporter.py int8 arg) to live TPU serving: the trace-time
             # int8 switch quantizes the measured-winning convs (k>=3 dense

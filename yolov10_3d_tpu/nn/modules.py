@@ -58,7 +58,11 @@ def set_int8_mode(enabled: bool, act_scale=8.0 / 127.0, scope: str = "k3") -> No
     _INT8_SCOPE = scope
 
 
-_INT8_DEEP_HW = 400  # "k3deep": 1x1 convs quantize when H*W <= this (20x20)
+# "k3deep": 1x1 convs quantize when H*W <= this. 512 covers the P5 stage of
+# both flagship configs (20x20=400 at 640^2, 12x40=480 at the KITTI
+# 384x1280) while excluding the 40x40=1600 level where 1x1 int8 measured
+# slower than bf16.
+_INT8_DEEP_HW = 512
 
 
 def int8_conv(
